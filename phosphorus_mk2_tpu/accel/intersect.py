@@ -1,0 +1,134 @@
+"""Moller-Trumbore ray-triangle intersection.
+
+Counterpart of the reference's packed-leaf intersectors (reference
+src/accel/triangle.hpp:25-290). Two roles:
+
+* ``intersect_brute``: the correctness oracle — every ray against every
+  triangle, the TPU analogue of the reference's debug ``linear_mbvh_kernel_t``
+  (reference src/kernels/cpu/linear_bvh_kernel.hpp:8-15). Runs as a
+  lax.scan over triangle chunks so memory stays bounded; each chunk is a
+  dense (rays x chunk) VPU computation.
+* ``reintersect``: differentiable re-evaluation of a known (ray, triangle)
+  pair — the primal traversal is non-differentiable (it only yields ids),
+  and gradients w.r.t. vertex positions flow through this recomputation
+  (SURVEY.md section 7 "differentiability pass").
+
+Barycentric convention matches the reference (triangle.hpp:84-100):
+u weights vertex b, v weights vertex c, hit P = (1-u-v)a + u*b + v*c.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from phosphorus_mk2_tpu.math.vec import cross, dot
+
+DET_EPS = 1e-8
+T_MAX = jnp.float32(3.4e38)
+
+
+def _gather_tri_verts(scene, tri: jnp.ndarray):
+    """(..., 3, 3) vertices for triangle ids (...,)."""
+    f = scene.faces[tri]
+    a = scene.vertices[f[..., 0]]
+    b = scene.vertices[f[..., 1]]
+    c = scene.vertices[f[..., 2]]
+    return a, b, c
+
+
+def mt_intersect(p, d, a, b, c):
+    """Batched MT test. All args broadcastable to (..., 3).
+
+    Returns (t, u, v, valid): valid requires |det| >= eps, 0<=u<=1,
+    v>=0, u+v<=1, t>=0 (reference triangle.hpp:84-116 semantics).
+    """
+    e0 = b - a
+    e1 = c - a
+    pvec = cross(d, e1)
+    det = dot(e0, pvec)
+    near_zero = jnp.abs(det) < DET_EPS
+    ood = 1.0 / jnp.where(near_zero, 1.0, det)
+    tvec = p - a
+    u = dot(tvec, pvec) * ood
+    qvec = cross(tvec, e0)
+    v = dot(d, qvec) * ood
+    t = dot(e1, qvec) * ood
+    valid = (
+        (~near_zero)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t >= 0.0)
+    )
+    return t, u, v, valid
+
+
+def intersect_brute(scene, p, d, tmax=None, chunk: int = 512):
+    """Closest-hit over the whole triangle soup (oracle tracer).
+
+    p, d: (N, 3). tmax: (N,) or None.
+    Returns dict: t (N,), tri (N,) int32 (-1 on miss), u, v (N,), hit (N,).
+    """
+    n = p.shape[0]
+    num_tris = scene.faces.shape[0]
+    pad = (-num_tris) % chunk
+    faces = jnp.pad(scene.faces, ((0, pad), (0, 0)))
+    tri_ids = jnp.arange(num_tris + pad, dtype=jnp.int32)
+    tri_valid = tri_ids < num_tris
+    faces = faces.reshape(-1, chunk, 3)
+    tri_ids = tri_ids.reshape(-1, chunk)
+    tri_valid = tri_valid.reshape(-1, chunk)
+
+    t0 = jnp.full((n,), T_MAX) if tmax is None else tmax
+    init = (
+        t0,
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,)),
+        jnp.zeros((n,)),
+    )
+
+    verts = scene.vertices
+
+    def body(carry, chunk_data):
+        best_t, best_tri, best_u, best_v = carry
+        f, ids, ok = chunk_data
+        a = verts[f[:, 0]]  # (C, 3)
+        b = verts[f[:, 1]]
+        c = verts[f[:, 2]]
+        t, u, v, valid = mt_intersect(
+            p[:, None, :], d[:, None, :], a[None], b[None], c[None]
+        )  # (N, C)
+        valid = valid & ok[None, :] & (t < best_t[:, None])
+        t_masked = jnp.where(valid, t, T_MAX)
+        j = jnp.argmin(t_masked, axis=1)  # (N,)
+        rows = jnp.arange(n)
+        hit_any = valid[rows, j]
+        tj = t_masked[rows, j]
+        better = hit_any & (tj < best_t)
+        best_t = jnp.where(better, tj, best_t)
+        best_tri = jnp.where(better, ids[j], best_tri)
+        best_u = jnp.where(better, u[rows, j], best_u)
+        best_v = jnp.where(better, v[rows, j], best_v)
+        return (best_t, best_tri, best_u, best_v), None
+
+    (t, tri, u, v), _ = jax.lax.scan(body, init, (faces, tri_ids, tri_valid))
+    hit = tri >= 0
+    return {"t": t, "tri": tri, "u": u, "v": v, "hit": hit}
+
+
+def occluded_brute(scene, p, d, tmax, chunk: int = 512):
+    """Any-hit test for shadow rays (t in [0, tmax))."""
+    res = intersect_brute(scene, p, d, tmax, chunk=chunk)
+    return res["hit"]
+
+
+def reintersect(scene, tri, p, d):
+    """Differentiable (t, u, v) for known triangle ids.
+
+    Gradients flow to scene.vertices through the gathered triangle
+    vertices; comparisons/ids from the primal traversal are constants.
+    """
+    a, b, c = _gather_tri_verts(scene, jnp.maximum(tri, 0))
+    t, u, v, _ = mt_intersect(p, d, a, b, c)
+    return t, u, v

@@ -1,0 +1,112 @@
+"""BSDF lobe container: eval and one-sample-mixture sampling.
+
+Counterpart of the reference's ``bsdf_t`` (reference src/bsdf.cpp:113-248):
+``f()`` sums hemisphere-matching lobes times the incident cosine;
+``sample()`` picks one lobe uniformly (with sample reuse), then folds in
+the values/pdfs of flag-compatible other lobes and averages the pdf
+("MIS-lite" one-sample mixture).
+
+Here the container is a struct-of-arrays over the wavefront: per-hit lobe
+arrays gathered from the material tables by material id.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from phosphorus_mk2_tpu.bsdf.lobes import eval_lobe, sample_lobe
+from phosphorus_mk2_tpu.core.material import (
+    FLAG_REFLECT,
+    FLAG_SPECULAR,
+    FLAG_TRANSMIT,
+    MAX_LOBES,
+)
+from phosphorus_mk2_tpu.math.sampling import remap_index_sample
+from phosphorus_mk2_tpu.math.vec import dot
+
+
+def gather_lobes(scene, mat_id: jnp.ndarray) -> dict:
+    """Per-hit lobe arrays for a wavefront of material ids (N,)."""
+    return {
+        "type": scene.lobe_type[mat_id],      # (N, L)
+        "weight": scene.lobe_weight[mat_id],  # (N, L, 3)
+        "param": scene.lobe_param[mat_id],    # (N, L, P)
+        "flags": scene.lobe_flags[mat_id],    # (N, L)
+        "n": scene.n_lobes[mat_id],           # (N,)
+    }
+
+
+def _hemisphere_match(flags_i, n, wi, wo):
+    """reflect/transmit matching (reference src/bsdf.cpp:120-127)."""
+    atl = dot(n, wi)
+    reflect = atl * dot(n, wo) > 0.0
+    is_refl = (flags_i & FLAG_REFLECT) == FLAG_REFLECT
+    is_trans = (flags_i & FLAG_TRANSMIT) == FLAG_TRANSMIT
+    reflect = reflect.reshape(reflect.shape + (1,) * (flags_i.ndim - reflect.ndim))
+    return jnp.where(reflect, is_refl, is_trans)
+
+
+def bsdf_f(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, wo: jnp.ndarray):
+    """Evaluate the container (reference bsdf_t::f, src/bsdf.cpp:113-131).
+
+    wi = direction toward the light; wo = toward the viewer. Includes the
+    incident-cosine factor, as the reference does inside f().
+    Returns (N, 3) rgb.
+    """
+    out = jnp.zeros(wi.shape, wi.dtype)
+    atl = dot(n, wi)
+    match = _hemisphere_match(lobes["flags"], n, wi, wo)  # (N, L)
+    for i in range(MAX_LOBES):
+        active = i < lobes["n"]
+        e, _ = eval_lobe(lobes["type"][:, i], lobes["param"][:, i], n, wi, wo)
+        contrib = e[..., None] * lobes["weight"][:, i] * atl[..., None]
+        out = out + jnp.where((active & match[:, i])[..., None], contrib, 0.0)
+    return out
+
+
+def bsdf_sample(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, u2: jnp.ndarray):
+    """Sample the container (reference bsdf_t::sample, src/bsdf.cpp:133-248).
+
+    wi = direction toward the previous path vertex; u2 = (N, 2) uniforms.
+    Returns (f (N,3), wo (N,3), pdf (N,), flags (N,) int32).
+    """
+    num = wi.shape[0]
+    rows = jnp.arange(num)
+
+    n_lobes = jnp.maximum(lobes["n"], 1)
+    idx, u_remap = remap_index_sample(u2[..., 0], n_lobes)
+
+    type_sel = lobes["type"][rows, idx]
+    weight_sel = lobes["weight"][rows, idx]
+    param_sel = lobes["param"][rows, idx]
+    flags_sel = lobes["flags"][rows, idx]
+
+    remapped = jnp.stack([u_remap, u2[..., 1]], axis=-1)
+    f_s, wo, pdf = sample_lobe(type_sel, param_sel, n, wi, remapped)
+
+    selected_valid = pdf != 0.0
+    result = f_s[..., None] * weight_sel  # (N, 3)
+
+    # fold in other flag-compatible lobes (one-sample mixture,
+    # reference src/bsdf.cpp:226-247)
+    matched = jnp.ones((num,), jnp.int32)
+    for i in range(MAX_LOBES):
+        flags_i = lobes["flags"][:, i]
+        subset = (flags_sel & flags_i) == flags_i
+        cond = (i != idx) & (i < lobes["n"]) & subset
+        hemi = _hemisphere_match(flags_i, n, wi, wo)
+        use = cond & hemi
+        e_i, pdf_i = eval_lobe(lobes["type"][:, i], lobes["param"][:, i], n, wi, wo)
+        result = result + jnp.where(
+            use[..., None], e_i[..., None] * lobes["weight"][:, i], 0.0
+        )
+        pdf = pdf + jnp.where(use, pdf_i, 0.0)
+        matched = matched + use.astype(jnp.int32)
+
+    pdf = pdf / matched.astype(pdf.dtype)
+    result = jnp.where(selected_valid[..., None], result, 0.0)
+    pdf = jnp.where(selected_valid, pdf, 0.0)
+    return result, wo, pdf, flags_sel
+
+
+def is_specular_flags(flags: jnp.ndarray) -> jnp.ndarray:
+    return (flags & FLAG_SPECULAR) == FLAG_SPECULAR

@@ -1,0 +1,92 @@
+"""Light sampling for next-event estimation.
+
+Counterpart of the reference light system (reference src/light.cpp) and
+sampler light-sample generation (reference src/sampling.cpp:160-180):
+
+* a light is picked uniformly among all lights and the pdf divided by the
+  light count (sampling.cpp:133 / :168);
+* area lights pick a triangle uniformly — the precomputed area CDF exists
+  but is unused in the reference (light.cpp:50-55) and we match the
+  uniform pick — then warp to barycentrics by the sqrt warp and report
+  pdf = 1/total_area (light.cpp:55-68);
+* infinite lights sample a y-up uniform hemisphere at radius 1000 with
+  the reference's pdf = 1/pi quirk (light.cpp:106-112).
+
+Deviation (documented): the reference's NEE treats an infinite-light
+sample like a surface sample with garbage shading data from mesh 0 and a
+1e6 distance-squared pdf factor, making its contribution ~1e-6 of a
+typical radiance value (spt.hpp:245-254). We return weight 0 for those
+samples instead; environment light still arrives via path misses exactly
+like the reference.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from phosphorus_mk2_tpu.core.scene import LIGHT_AREA, LIGHT_INFINITE
+from phosphorus_mk2_tpu.core.shading import shading_parameters
+from phosphorus_mk2_tpu.math.sampling import (
+    remap_index_sample,
+    triangle_sample,
+    uniform_hemisphere,
+)
+
+
+def sample_lights(scene, u_pick: jnp.ndarray, u_tri: jnp.ndarray, u_uv: jnp.ndarray):
+    """Sample one light point per wavefront entry.
+
+    u_pick, u_tri, u_uv: (N,) uniforms (u_tri is reused/remapped for the
+    triangle pick + barycentric x, as the reference does with uv.x).
+
+    Returns dict:
+      p (N,3) sampled point, n (N,3) light normal, pdf (N,) area pdf
+      already divided by the light count, mat (N,) emitter material id,
+      valid (N,) False for the zero-contribution cases (no lights /
+      infinite-light sample).
+    """
+    nl = scene.num_lights
+    light_idx, _ = remap_index_sample(u_pick, nl)
+
+    ltype = scene.light_type[light_idx]
+    lmat = scene.light_mat[light_idx]
+    lcount = jnp.maximum(scene.light_count[light_idx], 1)
+    loffset = scene.light_offset[light_idx]
+    larea = scene.light_area[light_idx]
+
+    # area light: uniform triangle pick with sample reuse
+    tri_sel, u_rem = remap_index_sample(u_tri, lcount)
+    gtri = scene.light_tris[loffset + tri_sel]
+    bary = triangle_sample(jnp.stack([u_rem, u_uv], axis=-1))
+    bu, bv = bary[..., 0], bary[..., 1]
+
+    f = scene.faces[gtri]
+    a = scene.vertices[f[..., 0]]
+    b = scene.vertices[f[..., 1]]
+    c = scene.vertices[f[..., 2]]
+    # reference convention: barycentric_to_point = u*a + v*b + (1-u-v)*c
+    # (src/mesh.cpp:314-316)
+    p_area = (
+        bu[..., None] * a + bv[..., None] * b + (1.0 - bu - bv)[..., None] * c
+    )
+    # ...but the light-side shading normal is computed with the *hit*
+    # convention on the same (u, v) — replicating the reference's
+    # convention mismatch (spt.hpp:245 via mesh.cpp:176-197).
+    sp = shading_parameters(scene, gtri, bu, bv)
+    n_area = sp["n"]
+    pdf_area = 1.0 / jnp.maximum(larea, 1e-20)
+
+    # infinite light (zero-contribution in NEE, see module docstring)
+    hemi, pdf_inf = uniform_hemisphere(
+        jnp.stack([u_tri, u_uv], axis=-1)
+    )
+    p_inf = hemi * 1000.0
+
+    is_area = ltype == LIGHT_AREA
+    is_inf = ltype == LIGHT_INFINITE
+
+    p = jnp.where(is_area[..., None], p_area, p_inf)
+    n = jnp.where(is_area[..., None], n_area, 0.0)
+    pdf = jnp.where(is_area, pdf_area, pdf_inf) / nl
+    valid = is_area & (scene.light_count[light_idx] > 0)
+
+    return {"p": p, "n": n, "pdf": pdf, "mat": lmat, "valid": valid}

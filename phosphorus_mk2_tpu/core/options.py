@@ -1,0 +1,24 @@
+"""Render options, mirroring the reference CLI flags
+(reference src/options.hpp:6-43: spp=16, depth=9, paths/sample=16,
+single_threaded, host_only, progressive, render_normals, verbose)."""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class Options:
+    output: str = "out.exr"
+    samples_per_pixel: int = 16
+    paths_per_sample: int = 1  # path revival is disabled in the reference too
+    path_depth: int = 9
+    progressive: bool = False
+    render_normals: bool = False
+    verbose: bool = False
+    # TPU-specific knobs (no reference counterpart):
+    samples_per_pass: int = 4      # spp chunking per jit invocation
+    use_bvh: bool = True           # False = brute-force oracle tracer
+    use_pallas: bool = False       # Pallas traversal kernels (TPU only)
+    seed: int = 0
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 0      # passes between checkpoints; 0 = off

@@ -1,0 +1,349 @@
+"""Wavefront unidirectional path integrator with NEE and Russian roulette.
+
+Counterpart of the reference's sample-parallel-tracing pipeline
+(reference src/kernels/cpu/spt.hpp and the per-tile wavefront in
+src/xpu/cpu.cpp:148-154: trace -> shade -> prepare_occlusion ->
+trace(shadow) -> integrate). TPU-first reformulation:
+
+* the per-bounce wavefront is a dense ``lax.scan`` over a fixed
+  ``max_depth`` with per-ray alive masks — the reference's ``active_t``
+  index compaction (src/state.hpp:250) becomes masking, which is the
+  right trade on a machine that wants static shapes (SURVEY.md §5.7);
+* path state (origin, direction, throughput, radiance, flags) is a
+  struct of dense (N, ...) arrays — the SoA ray/interaction streams of
+  reference src/state.hpp:40-248 with N = the whole frame, not 1024;
+* every random number is counter-based (math/rng.py), so any sharding of
+  the pixel axis yields identical images.
+
+Numerical semantics replicated from the reference integrator:
+  * emission is added at the first vertex and after specular bounces only
+    (spt.hpp:177-179); environment emission on miss (spt.hpp:201);
+  * NEE: shadow rays are masked when the light lies in the lower
+    hemisphere (spt.hpp:138-141); the direct-light factor is
+    (e * 4) * f / (light_pdf * d^2 / |cos theta_l|) (spt.hpp:252-254);
+  * Russian roulette after 3 vertices with q = max(0.05, 1 - lum(beta))
+    and survivor reweighting (spt.hpp:307-328);
+  * throughput update beta *= f * |n.wo| / pdf (spt.hpp:291-299).
+
+Differentiability: radiance is differentiable w.r.t. scene.vertices,
+scene.normals, lobe weights/params and emission. Discrete events (hit
+ids, visibility, lobe choice, RR) are primal/stop-gradiented, so these
+are interior gradients (no visibility-edge terms) — the scoping called
+out in SURVEY.md §7 "hard parts".
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from phosphorus_mk2_tpu.accel.intersect import reintersect
+from phosphorus_mk2_tpu.bsdf.bsdf import (
+    bsdf_f,
+    bsdf_sample,
+    gather_lobes,
+    is_specular_flags,
+)
+from phosphorus_mk2_tpu.core.camera import camera_to_params, generate_rays
+from phosphorus_mk2_tpu.core.lights import sample_lights
+from phosphorus_mk2_tpu.core.shading import shading_parameters
+from phosphorus_mk2_tpu.math import rng
+from phosphorus_mk2_tpu.math.vec import (
+    RAY_EPSILON,
+    dot,
+    is_black,
+    luminance,
+    normalize,
+    offset,
+)
+
+
+def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False):
+    """Pick the traversal backend: BVH if built, else the brute oracle."""
+    if use_bvh and scene.bvh is not None:
+        from phosphorus_mk2_tpu.accel.traverse import (
+            intersect_bvh,
+            occluded_bvh,
+        )
+
+        closest = functools.partial(intersect_bvh, use_pallas=use_pallas)
+        occluded = functools.partial(occluded_bvh, use_pallas=use_pallas)
+        return closest, occluded
+    from phosphorus_mk2_tpu.accel.intersect import intersect_brute, occluded_brute
+
+    return intersect_brute, occluded_brute
+
+
+def _env_emission(scene):
+    if scene.env_mat < 0:
+        return jnp.zeros((3,), jnp.float32)
+    return scene.emission[scene.env_mat]
+
+
+def trace_sample(
+    scene,
+    cam_params,
+    pixel_x,
+    pixel_y,
+    sample_idx,
+    key,
+    *,
+    max_depth: int,
+    tracer,
+):
+    """Trace one sample per pixel for a wavefront. Returns (radiance (N,3),
+    first-hit normal (N,3), first-hit alpha (N,))."""
+    n = pixel_x.shape[0]
+    closest, occluded = tracer
+
+    # NOTE (documented deviation): the reference shares one stratified film
+    # jitter across all pixels of a sample index (src/sampling.cpp:98-112);
+    # we use per-pixel decorrelated jitter — identical expectation, less
+    # structured noise.
+    film_u = _ppn(key, pixel_x, pixel_y, sample_idx, 0, rng.Purpose.FILM, 2)
+    lens_u = _ppn(key, pixel_x, pixel_y, sample_idx, 0, rng.Purpose.LENS, 2)
+
+    p0, d0 = generate_rays(cam_params, pixel_x, pixel_y, film_u, lens_u)
+
+    env_e = _env_emission(scene)
+    nee_enabled = scene.num_lights > 0
+
+    def bounce(carry, b):
+        p, d, beta, radiance, alive, spec, aux = carry
+
+        hits = closest(scene, p, d)
+        tri = hits["tri"]
+        hit = hits["hit"] & alive
+
+        # differentiable re-evaluation of the hit point
+        _, u, v = reintersect(scene, tri, p, d)
+        u = jnp.where(hit, u, 0.0)
+        v = jnp.where(hit, v, 0.0)
+        sp = shading_parameters(scene, tri, u, v)
+        hp, hn = sp["p"], sp["n"]
+        wo_view = -d  # toward the previous vertex (reference flips wi)
+        mat = jnp.where(hit, scene.tri_mat[jnp.maximum(tri, 0)], 0)
+
+        e_hit = scene.emission[mat]
+
+        # 1. emission at first/specular vertices; env on miss
+        emit_mask = hit & ((b == 0) | spec)
+        radiance = radiance + jnp.where(emit_mask[..., None], beta * e_hit, 0.0)
+        miss_mask = alive & ~hit
+        radiance = radiance + jnp.where(miss_mask[..., None], beta * env_e, 0.0)
+
+        # record first-hit AOVs
+        first = aux["first"] & alive
+        aux = {
+            "first": aux["first"] & ~alive,  # only bounce 0 has alive=first
+            "normal": jnp.where((first & hit)[..., None], hn, aux["normal"]),
+            "alpha": jnp.where(first & hit, 1.0, aux["alpha"]),
+        }
+
+        lobes = gather_lobes(scene, mat)
+
+        # 2. next-event estimation
+        if nee_enabled:
+            u_pick = _pp1(key, pixel_x, pixel_y, sample_idx, b, rng.Purpose.LIGHT_PICK)
+            u_tri = _pp1(key, pixel_x, pixel_y, sample_idx, b, rng.Purpose.LIGHT_TRI)
+            u_uv = _pp1(key, pixel_x, pixel_y, sample_idx, b, rng.Purpose.LIGHT_UV)
+            ls = sample_lights(scene, u_pick, u_tri, u_uv)
+
+            p_off = offset(hp, hn)
+            wi_vec = ls["p"] - p_off
+            dist = jnp.sqrt(jnp.maximum(dot(wi_vec, wi_vec), 1e-20))
+            wi = wi_vec / dist[..., None]
+            dist = dist - RAY_EPSILON
+
+            same_hemi = dot(hn, wi) > 0.0
+            valid = hit & same_hemi & ls["valid"]
+            occ = occluded(scene, p_off, wi, jnp.where(valid, dist, 0.0))
+
+            f = bsdf_f(lobes, hn, wi, wo_view)
+            light_e = scene.emission[ls["mat"]]
+            cos_l = jnp.abs(dot(ls["n"], -wi))
+            pdf_l = ls["pdf"] * dist * dist / jnp.maximum(cos_l, 1e-20)
+            li = (light_e * 4.0) * f / jnp.maximum(pdf_l, 1e-20)[..., None]
+            use = valid & ~occ
+            radiance = radiance + jnp.where(use[..., None], beta * li, 0.0)
+
+        # 3. Russian roulette + termination (reference terminate_path)
+        depth_after = b + 1
+        alive_next = hit & (depth_after < max_depth)
+        u_rr = _pp1(key, pixel_x, pixel_y, sample_idx, b, rng.Purpose.RR)
+        q = jnp.maximum(0.05, 1.0 - luminance(jax.lax.stop_gradient(beta)))
+        rr_on = alive_next & (depth_after >= 3)
+        survive = u_rr >= q
+        alive_next = alive_next & (~rr_on | survive)
+        w = jnp.where(rr_on & survive, 1.0 / (1.0 - q), 1.0)
+        beta = beta * w[..., None]
+
+        # 4. BSDF sampling for the next bounce
+        u_lobe = _pp1(key, pixel_x, pixel_y, sample_idx, b, rng.Purpose.BSDF_LOBE)
+        u_dir = _pp1(key, pixel_x, pixel_y, sample_idx, b, rng.Purpose.BSDF_UV)
+        u2 = jnp.stack([u_lobe, u_dir], axis=-1)
+        f_s, wo, pdf_s, flags = bsdf_sample(lobes, hn, wo_view, u2)
+
+        dead_f = is_black(f_s) | (pdf_s == 0.0)
+        alive_next = alive_next & ~dead_f
+
+        cos_o = dot(hn, wo)
+        safe_pdf = jnp.where(pdf_s == 0.0, 1.0, pdf_s)
+        beta_next = beta * f_s * (jnp.abs(cos_o) / safe_pdf)[..., None]
+        beta = jnp.where(alive_next[..., None], beta_next, beta)
+
+        p_next = offset(hp, hn, invert=cos_o < 0.0)
+        d_next = normalize(wo)
+        p = jnp.where(alive_next[..., None], p_next, p)
+        d = jnp.where(alive_next[..., None], d_next, d)
+        spec = jnp.where(alive_next, is_specular_flags(flags), False)
+
+        return (p, d, beta, radiance, alive_next, spec, aux), None
+
+    aux0 = {
+        "first": jnp.ones((n,), bool),
+        "normal": jnp.zeros((n, 3), jnp.float32),
+        "alpha": jnp.zeros((n,), jnp.float32),
+    }
+    carry0 = (
+        p0,
+        d0,
+        jnp.ones((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.ones((n,), bool),
+        jnp.zeros((n,), bool),
+        aux0,
+    )
+    (p, d, beta, radiance, alive, spec, aux), _ = jax.lax.scan(
+        bounce, carry0, jnp.arange(max_depth)
+    )
+    return radiance, aux["normal"], aux["alpha"]
+
+
+def _ppn(key, px, py, sample_idx, bounce, purpose, dims):
+    k = rng.cell_key(key, sample_idx, bounce, purpose)
+    # hash pixel coordinates into independent streams with one threefry
+    # call for the whole wavefront
+    pix = (py.astype(jnp.uint32) << jnp.uint32(16)) | px.astype(jnp.uint32)
+    bits = jax.vmap(
+        lambda p: jax.random.key_data(jax.random.fold_in(k, p))
+    )(pix)
+    # use the folded key data as uniforms directly (threefry output bits)
+    b = bits[..., :dims] if bits.shape[-1] >= dims else None
+    if b is None:
+        raise ValueError("need more key data")
+    return _bits_to_float(b if dims > 1 else b[..., 0])
+
+
+def _pp1(key, px, py, sample_idx, bounce, purpose):
+    return _ppn(key, px, py, sample_idx, bounce, purpose, 1)
+
+
+def _bits_to_float(bits: jnp.ndarray) -> jnp.ndarray:
+    """uint32 bits -> float32 in [0, 1) (reference to_float idiom,
+    src/sampling.cpp:57-60)."""
+    mantissa = (bits & jnp.uint32(0x007FFFFF)) | jnp.uint32(0x3F800000)
+    return jax.lax.bitcast_convert_type(mantissa, jnp.float32) - 1.0
+
+
+def render_pass(
+    scene,
+    cam_params,
+    key,
+    sample_offset,
+    n_samples: int,
+    *,
+    width: int,
+    height: int,
+    max_depth: int,
+    tracer,
+):
+    """Accumulate ``n_samples`` samples for the full frame. Jittable.
+
+    Returns dict of sums (not yet divided by spp): color (H*W, 3),
+    normal (H*W, 3), alpha (H*W,).
+    """
+    n = width * height
+    ids = jnp.arange(n, dtype=jnp.int32)
+    px = ids % width
+    py = ids // width
+
+    def one(carry, s):
+        c_sum, n_sum, a_sum = carry
+        r, nrm, alpha = trace_sample(
+            scene,
+            cam_params,
+            px,
+            py,
+            sample_offset + s,
+            key,
+            max_depth=max_depth,
+            tracer=tracer,
+        )
+        return (c_sum + r, n_sum + nrm, a_sum + alpha), None
+
+    init = (
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+    )
+    (c, nrm, a), _ = jax.lax.scan(one, init, jnp.arange(n_samples))
+    return {"color": c, "normal": nrm, "alpha": a}
+
+
+def render_aovs(
+    scene,
+    camera,
+    *,
+    spp: int | None = None,
+    max_depth: int | None = None,
+    options=None,
+    key=None,
+):
+    """Full render returning color + AOVs as (H, W, C) numpy-convertible
+    jnp arrays. Python-level loop over sample passes (progressive-ready)."""
+    from phosphorus_mk2_tpu.core.options import Options
+
+    options = options or Options()
+    spp = spp if spp is not None else options.samples_per_pixel
+    max_depth = max_depth if max_depth is not None else options.path_depth
+    key = key if key is not None else jax.random.key(options.seed)
+
+    cam_params = camera_to_params(camera)
+    w, h = camera.width, camera.height
+    tracer = make_tracer(scene, options.use_bvh, options.use_pallas)
+
+    per_pass = max(1, min(options.samples_per_pass, spp))
+    jitted = jax.jit(
+        functools.partial(
+            render_pass,
+            width=w,
+            height=h,
+            max_depth=max_depth,
+            tracer=tracer,
+        ),
+        static_argnames=("n_samples",),
+    )
+
+    sums = None
+    done = 0
+    while done < spp:
+        todo = min(per_pass, spp - done)
+        out = jitted(scene, cam_params, key, done, todo)
+        if sums is None:
+            sums = out
+        else:
+            sums = jax.tree_util.tree_map(jnp.add, sums, out)
+        done += todo
+
+    inv = 1.0 / spp
+    color = (sums["color"] * inv).reshape(h, w, 3)
+    normal = (sums["normal"] * inv).reshape(h, w, 3)
+    alpha = (sums["alpha"] * inv).reshape(h, w)
+    return {"color": color, "normal": normal, "alpha": alpha}
+
+
+def render(scene, camera, **kwargs):
+    """Forward render: (H, W, 3) radiance."""
+    return render_aovs(scene, camera, **kwargs)["color"]

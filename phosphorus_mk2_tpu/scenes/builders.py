@@ -1,0 +1,193 @@
+"""Procedural scene builders for the benchmark configurations.
+
+These realize BASELINE.json's matched scenes without external assets:
+  1. diffuse sphere in a box (direct lighting, 128x128)
+  2. Cornell box (2-bounce PT + NEE, 256x256)
+  3. multi-mesh glossy/dielectric scene (512x512)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from phosphorus_mk2_tpu.core.camera import Camera
+from phosphorus_mk2_tpu.core.material import Material
+from phosphorus_mk2_tpu.core.mesh import Mesh
+from phosphorus_mk2_tpu.core.scene import Scene
+
+
+def make_quad(a, b, c, d, material=None, name="quad") -> Mesh:
+    """Quad from 4 corners (counter-clockwise as seen against the normal)."""
+    verts = np.array([a, b, c, d], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return Mesh(vertices=verts, faces=faces, material=material, smooth=False, name=name)
+
+
+def make_uv_sphere(center, radius, n_theta=16, n_phi=32, material=None, name="sphere") -> Mesh:
+    """UV sphere with per-vertex normals (smooth shaded)."""
+    cx, cy, cz = center
+    verts = []
+    normals = []
+    for i in range(n_theta + 1):
+        theta = np.pi * i / n_theta
+        for j in range(n_phi):
+            phi = 2.0 * np.pi * j / n_phi
+            n = np.array(
+                [
+                    np.sin(theta) * np.cos(phi),
+                    np.cos(theta),
+                    np.sin(theta) * np.sin(phi),
+                ]
+            )
+            normals.append(n)
+            verts.append(np.array([cx, cy, cz]) + radius * n)
+    faces = []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            j2 = (j + 1) % n_phi
+            v00 = i * n_phi + j
+            v01 = i * n_phi + j2
+            v10 = (i + 1) * n_phi + j
+            v11 = (i + 1) * n_phi + j2
+            if i > 0:
+                faces.append([v00, v01, v10])
+            if i < n_theta - 1:
+                faces.append([v01, v11, v10])
+    return Mesh(
+        vertices=np.array(verts, np.float32),
+        faces=np.array(faces, np.int32),
+        normals=np.array(normals, np.float32),
+        material=material,
+        smooth=True,
+        name=name,
+    )
+
+
+def _box_walls(scene: Scene, size: float, mats: dict):
+    """Interior of a box [-s, s]^3 with the opening toward +z camera."""
+    s = size
+    # floor (y = -s, normal +y)
+    scene.add_mesh(
+        make_quad([-s, -s, s], [s, -s, s], [s, -s, -s], [-s, -s, -s], mats["white"], "floor")
+    )
+    # ceiling (y = +s, normal -y)
+    scene.add_mesh(
+        make_quad([-s, s, -s], [s, s, -s], [s, s, s], [-s, s, s], mats["white"], "ceiling")
+    )
+    # back wall (z = -s, normal +z)
+    scene.add_mesh(
+        make_quad([-s, -s, -s], [s, -s, -s], [s, s, -s], [-s, s, -s], mats["white"], "back")
+    )
+    # left wall (x = -s, normal +x) — red
+    scene.add_mesh(
+        make_quad([-s, -s, s], [-s, -s, -s], [-s, s, -s], [-s, s, s], mats["red"], "left")
+    )
+    # right wall (x = +s, normal -x) — green
+    scene.add_mesh(
+        make_quad([s, -s, -s], [s, -s, s], [s, s, s], [s, s, -s], mats["green"], "right")
+    )
+
+
+def _add_top_light(scene: Scene, size: float, mat, frac=0.4):
+    s = size * frac
+    y = size * 0.999
+    scene.add_mesh(
+        make_quad([-s, y, -s], [s, y, -s], [s, y, s], [-s, y, s], mat, "light")
+    )
+
+
+def _front_camera(size: float, width: int, height: int) -> Camera:
+    return Camera.look_at(
+        position=(0.0, 0.0, size * 3.4),
+        target=(0.0, 0.0, 0.0),
+        up=(0.0, 1.0, 0.0),
+        width=width,
+        height=height,
+    )
+
+
+def sphere_in_box(width=128, height=128) -> Scene:
+    """BASELINE config 1: diffuse sphere in a box, direct lighting."""
+    scene = Scene()
+    mats = {
+        "white": scene.add_material(Material.diffuse((0.73, 0.73, 0.73), name="white")),
+        "red": scene.add_material(Material.diffuse((0.61, 0.06, 0.06), name="red")),
+        "green": scene.add_material(Material.diffuse((0.12, 0.45, 0.15), name="green")),
+    }
+    emit = scene.add_material(Material.emitter((1.0, 0.96, 0.88), power=40.0, name="lamp"))
+    _box_walls(scene, 1.0, mats)
+    _add_top_light(scene, 1.0, emit)
+    scene.add_mesh(make_uv_sphere((0.0, -0.5, 0.0), 0.45, material=mats["white"]))
+    scene.camera = _front_camera(1.0, width, height)
+    return scene
+
+
+def cornell_box(width=256, height=256) -> Scene:
+    """BASELINE config 2: Cornell box with two diffuse boxes."""
+    scene = Scene()
+    mats = {
+        "white": scene.add_material(Material.diffuse((0.73, 0.73, 0.73), name="white")),
+        "red": scene.add_material(Material.diffuse((0.61, 0.06, 0.06), name="red")),
+        "green": scene.add_material(Material.diffuse((0.12, 0.45, 0.15), name="green")),
+    }
+    emit = scene.add_material(Material.emitter((1.0, 0.84, 0.67), power=60.0, name="lamp"))
+    _box_walls(scene, 1.0, mats)
+    _add_top_light(scene, 1.0, emit, frac=0.3)
+
+    def add_box(center, half, yaw, mat):
+        cx, cy, cz = center
+        hx, hy, hz = half
+        corners = []
+        for dy in (-hy, hy):
+            for dx, dz in ((-hx, -hz), (hx, -hz), (hx, hz), (-hx, hz)):
+                x = dx * np.cos(yaw) - dz * np.sin(yaw)
+                z = dx * np.sin(yaw) + dz * np.cos(yaw)
+                corners.append([cx + x, cy + dy, cz + z])
+        v = np.array(corners, np.float32)
+        quads = [
+            (0, 3, 2, 1),  # bottom
+            (4, 5, 6, 7),  # top
+            (0, 1, 5, 4),
+            (1, 2, 6, 5),
+            (2, 3, 7, 6),
+            (3, 0, 4, 7),
+        ]
+        faces = []
+        for q in quads:
+            faces.append([q[0], q[1], q[2]])
+            faces.append([q[0], q[2], q[3]])
+        scene.add_mesh(
+            Mesh(vertices=v, faces=np.array(faces, np.int32), material=mat, smooth=False)
+        )
+
+    add_box((-0.33, -0.4, -0.3), (0.28, 0.6, 0.28), np.deg2rad(18), mats["white"])
+    add_box((0.35, -0.7, 0.28), (0.28, 0.3, 0.28), np.deg2rad(-17), mats["white"])
+    scene.camera = _front_camera(1.0, width, height)
+    return scene
+
+
+def multi_bsdf_scene(width=512, height=512) -> Scene:
+    """BASELINE config 3: multiple meshes with glossy/dielectric BSDFs."""
+    scene = Scene()
+    mats = {
+        "white": scene.add_material(Material.diffuse((0.73, 0.73, 0.73), name="white")),
+        "red": scene.add_material(Material.diffuse((0.61, 0.06, 0.06), name="red")),
+        "green": scene.add_material(Material.diffuse((0.12, 0.45, 0.15), name="green")),
+    }
+    emit = scene.add_material(Material.emitter((1.0, 0.92, 0.80), power=50.0, name="lamp"))
+    glossy = scene.add_material(Material.glossy((0.95, 0.93, 0.88), roughness=0.2, name="glossy"))
+    mirror = scene.add_material(Material.glossy((0.98, 0.98, 0.98), roughness=0.0, name="mirror"))
+    glass = scene.add_material(Material.glass((1.0, 1.0, 1.0), ior=1.45, name="glass"))
+    sheen = scene.add_material(Material.sheen((0.9, 0.4, 0.7), roughness=0.4, name="sheen"))
+    rough_diffuse = scene.add_material(
+        Material.diffuse((0.5, 0.5, 0.8), roughness=30.0, name="oren")
+    )
+
+    _box_walls(scene, 1.0, mats)
+    _add_top_light(scene, 1.0, emit, frac=0.35)
+    scene.add_mesh(make_uv_sphere((-0.55, -0.65, -0.25), 0.33, material=glossy))
+    scene.add_mesh(make_uv_sphere((0.0, -0.62, 0.25), 0.36, material=glass))
+    scene.add_mesh(make_uv_sphere((0.58, -0.68, -0.3), 0.3, material=mirror))
+    scene.add_mesh(make_uv_sphere((-0.1, -0.8, 0.75), 0.18, material=sheen))
+    scene.add_mesh(make_uv_sphere((0.5, -0.84, 0.62), 0.15, material=rough_diffuse))
+    scene.camera = _front_camera(1.0, width, height)
+    return scene
