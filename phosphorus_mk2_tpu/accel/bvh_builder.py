@@ -1,0 +1,191 @@
+"""Binned-SAH 8-wide BVH builder (host side).
+
+Counterpart of the reference's builder (reference
+src/accel/bvh/binned_sah_builder.hpp: 12 SAH bins over 3 axes, leaves of
+up to 8 triangles, 8-way nodes formed by repeatedly splitting the child
+with the most primitives — :229-241) producing the flattened SoA node
+arrays the TPU traversal consumes (the reference's mbvh::node_t<8> SoA
+bounds layout, src/accel/bvh/node.hpp:12-23, becomes plain (n, 8, 3)
+jnp arrays in HBM).
+
+Differences from the reference (documented):
+  * a leaf is emitted only when a subtree has <= MAX_LEAF prims; the
+    reference's SAH-cost leaf test can emit larger leaves split across
+    multiple packed records (bvh.cpp:68-75). Bounded leaves keep the
+    traversal's inner loop static, which XLA/Pallas require.
+  * degenerate splits (all centroids equal) fall back to a median split
+    instead of a giant leaf.
+
+This is the correctness builder in numpy; the C++ builder in native/
+(same output format) is the production path for multi-million-triangle
+scenes.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+NUM_BINS = 12       # reference binned_sah_builder.hpp:17
+MAX_LEAF = 8        # reference binned_sah_builder.hpp:18
+WIDTH = 8           # 8-wide nodes, reference node.hpp:12
+SENTINEL = -1
+
+
+class _BuildCtx:
+    def __init__(self, bmin, bmax, centroid):
+        self.bmin = bmin
+        self.bmax = bmax
+        self.centroid = centroid
+        self.node_bmin = []
+        self.node_bmax = []
+        self.node_child = []
+        self.node_count = []
+        self.leaf_tris = []
+
+
+def _bounds_of(ctx, idx):
+    return ctx.bmin[idx].min(axis=0), ctx.bmax[idx].max(axis=0)
+
+
+def _sah_split(ctx, idx):
+    """Best binned-SAH split over 3 axes. Returns (axis, threshold,
+    left_idx, right_idx) or None when degenerate."""
+    cent = ctx.centroid[idx]
+    cmin = cent.min(axis=0)
+    cmax = cent.max(axis=0)
+    ext = cmax - cmin
+    best = None  # (cost, axis, bin)
+    for axis in range(3):
+        if ext[axis] <= 0.0:
+            continue
+        scale = NUM_BINS * (1.0 - 1e-6) / ext[axis]
+        bins = np.minimum(
+            ((cent[:, axis] - cmin[axis]) * scale).astype(np.int32), NUM_BINS - 1
+        )
+        counts = np.bincount(bins, minlength=NUM_BINS)
+        # per-bin bounds
+        bin_min = np.full((NUM_BINS, 3), np.inf)
+        bin_max = np.full((NUM_BINS, 3), -np.inf)
+        for b in range(NUM_BINS):
+            sel = bins == b
+            if counts[b]:
+                bin_min[b] = ctx.bmin[idx][sel].min(axis=0)
+                bin_max[b] = ctx.bmax[idx][sel].max(axis=0)
+        # sweep: cost(i) = SA(left<=i)*n_left + SA(right>i)*n_right
+        lmin = np.minimum.accumulate(bin_min, axis=0)
+        lmax = np.maximum.accumulate(bin_max, axis=0)
+        rmin = np.minimum.accumulate(bin_min[::-1], axis=0)[::-1]
+        rmax = np.maximum.accumulate(bin_max[::-1], axis=0)[::-1]
+        lcnt = np.cumsum(counts)
+        rcnt = lcnt[-1] - lcnt
+
+        def area(mn, mx):
+            d = np.maximum(mx - mn, 0.0)
+            return 2.0 * (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0])
+
+        for b in range(NUM_BINS - 1):
+            if lcnt[b] == 0 or rcnt[b] == 0:
+                continue
+            cost = area(lmin, lmax)[b] * lcnt[b] + area(rmin[1:], rmax[1:])[b] * rcnt[b]
+            if best is None or cost < best[0]:
+                best = (cost, axis, b, bins)
+    if best is None:
+        return None
+    _, axis, b, bins = best
+    left = idx[bins <= b]
+    right = idx[bins > b]
+    if left.size == 0 or right.size == 0:
+        return None
+    return left, right
+
+
+def _split_or_median(ctx, idx):
+    s = _sah_split(ctx, idx)
+    if s is not None:
+        return s
+    # degenerate: median split on the largest-extent axis (by index order)
+    half = idx.size // 2
+    return idx[:half], idx[half:]
+
+
+def _build_node(ctx, idx) -> int:
+    """Emit one 8-wide node for `idx`; returns node id."""
+    # children start as a binary split, then the largest child keeps
+    # splitting until we have WIDTH children or only leaves remain
+    # (reference binned_sah_builder.hpp:224-241)
+    children = [idx]
+    while len(children) < WIDTH:
+        sizes = [c.size for c in children]
+        largest = int(np.argmax(sizes))
+        if sizes[largest] <= MAX_LEAF:
+            break
+        l, r = _split_or_median(ctx, children[largest])
+        children[largest : largest + 1] = [l, r]
+
+    node_id = len(ctx.node_child)
+    ctx.node_bmin.append(np.zeros((WIDTH, 3), np.float32))
+    ctx.node_bmax.append(np.zeros((WIDTH, 3), np.float32))
+    ctx.node_child.append(np.full((WIDTH,), SENTINEL, np.int32))
+    ctx.node_count.append(np.zeros((WIDTH,), np.int32))
+
+    for k, child in enumerate(children):
+        mn, mx = _bounds_of(ctx, child)
+        ctx.node_bmin[node_id][k] = mn
+        ctx.node_bmax[node_id][k] = mx
+        if child.size <= MAX_LEAF:
+            ctx.node_child[node_id][k] = len(ctx.leaf_tris)
+            ctx.node_count[node_id][k] = child.size
+            ctx.leaf_tris.extend(child.tolist())
+        else:
+            cid = _build_node(ctx, child)
+            ctx.node_child[node_id][k] = cid
+            ctx.node_count[node_id][k] = 0
+    return node_id
+
+
+def build_bvh(vertices: np.ndarray, faces: np.ndarray) -> dict:
+    """Build the flattened 8-wide BVH. Returns numpy arrays:
+      node_bmin/node_bmax: (n_nodes, 8, 3) f32
+      node_child: (n_nodes, 8) i32 — inner: child node id; leaf: offset
+                  into leaf_tris; empty slot: -1
+      node_count: (n_nodes, 8) i32 — 0 for inner/empty, else leaf size
+      leaf_tris:  (LT,) i32 triangle ids (padded to MAX_LEAF multiple)
+    """
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int32)
+    tri = vertices[faces]  # (T, 3, 3)
+    bmin = tri.min(axis=1)
+    bmax = tri.max(axis=1)
+    centroid = 0.5 * (bmin + bmax)
+
+    ctx = _BuildCtx(bmin, bmax, centroid)
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 100000))
+    try:
+        _build_node(ctx, np.arange(faces.shape[0]))
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    leaf = np.asarray(ctx.leaf_tris, np.int32)
+    # pad so a static 8-wide leaf read at any offset stays in bounds
+    leaf = np.concatenate([leaf, np.zeros((MAX_LEAF,), np.int32)])
+    return {
+        "node_bmin": np.stack(ctx.node_bmin),
+        "node_bmax": np.stack(ctx.node_bmax),
+        "node_child": np.stack(ctx.node_child),
+        "node_count": np.stack(ctx.node_count),
+        "leaf_tris": leaf,
+    }
+
+
+def attach_bvh(scene_data, bvh: dict | None = None):
+    """Return SceneData with BVH arrays attached (jnp-converted)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    if bvh is None:
+        bvh = build_bvh(np.asarray(scene_data.vertices), np.asarray(scene_data.faces))
+    dev = {k: jnp.asarray(v) for k, v in bvh.items()}
+    return dataclasses.replace(scene_data, bvh=dev)
