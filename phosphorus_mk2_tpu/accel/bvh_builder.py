@@ -134,7 +134,11 @@ def _build_node(ctx, idx) -> int:
         if child.size <= MAX_LEAF:
             ctx.node_child[node_id][k] = len(ctx.leaf_tris)
             ctx.node_count[node_id][k] = child.size
+            # each leaf record is padded to MAX_LEAF entries so offsets are
+            # group-aligned (block traversal indexes leaf groups by
+            # offset // MAX_LEAF)
             ctx.leaf_tris.extend(child.tolist())
+            ctx.leaf_tris.extend([0] * (MAX_LEAF - child.size))
         else:
             cid = _build_node(ctx, child)
             ctx.node_child[node_id][k] = cid
@@ -168,8 +172,8 @@ def build_bvh(vertices: np.ndarray, faces: np.ndarray) -> dict:
         sys.setrecursionlimit(old_limit)
 
     leaf = np.asarray(ctx.leaf_tris, np.int32)
-    # pad so a static 8-wide leaf read at any offset stays in bounds
-    leaf = np.concatenate([leaf, np.zeros((MAX_LEAF,), np.int32)])
+    if leaf.size == 0:
+        leaf = np.zeros((MAX_LEAF,), np.int32)
     return {
         "node_bmin": np.stack(ctx.node_bmin),
         "node_bmax": np.stack(ctx.node_bmax),
@@ -180,12 +184,34 @@ def build_bvh(vertices: np.ndarray, faces: np.ndarray) -> dict:
 
 
 def attach_bvh(scene_data, bvh: dict | None = None):
-    """Return SceneData with BVH arrays attached (jnp-converted)."""
+    """Return SceneData with BVH arrays attached (jnp-converted), plus
+    pre-gathered leaf triangle tables (leaf-group rows of v0/e0/e1) so
+    block traversal never gathers per lane.
+
+    NOTE: the leaf tables snapshot vertex positions — like the BVH
+    itself they go stale if vertices are optimized; rebuild per step for
+    geometry inverse rendering (gradients flow through the
+    differentiable re-intersection, not through these tables).
+    """
     import dataclasses
 
     import jax.numpy as jnp
 
+    verts = np.asarray(scene_data.vertices)
+    faces = np.asarray(scene_data.faces)
     if bvh is None:
-        bvh = build_bvh(np.asarray(scene_data.vertices), np.asarray(scene_data.faces))
+        from phosphorus_mk2_tpu.accel.native_bvh import build_bvh_native
+
+        bvh = build_bvh_native(verts, faces)
+        if bvh is None:
+            bvh = build_bvh(verts, faces)
     dev = {k: jnp.asarray(v) for k, v in bvh.items()}
+
+    ids2 = np.asarray(bvh["leaf_tris"]).reshape(-1, MAX_LEAF)
+    f = faces[ids2]  # (G, 8, 3)
+    a = verts[f[..., 0]]
+    dev["leaf_a"] = jnp.asarray(a)
+    dev["leaf_e0"] = jnp.asarray(verts[f[..., 1]] - a)
+    dev["leaf_e1"] = jnp.asarray(verts[f[..., 2]] - a)
+    dev["leaf_id"] = jnp.asarray(ids2)
     return dataclasses.replace(scene_data, bvh=dev)

@@ -45,6 +45,27 @@ def _hemisphere_match(flags_i, n, wi, wo):
     return jnp.where(reflect, is_refl, is_trans)
 
 
+def _eval_all_slots(lobes: dict, n, wi, wo):
+    """One flattened eval_lobe call over the (hit x lobe-slot) axis.
+
+    A per-slot Python loop would inline eval_lobe MAX_LOBES times into
+    the graph (and its transpose into the backward), which blows up XLA
+    compile time; flattening keeps one copy and gives the VPU a bigger
+    batch. Returns (e, pdf) of shape (N, L).
+    """
+    num = wi.shape[0]
+    flat_type = lobes["type"].reshape(-1)
+    flat_param = lobes["param"].reshape(num * MAX_LOBES, -1)
+
+    def tile(x):
+        return jnp.broadcast_to(x[:, None, :], (num, MAX_LOBES, 3)).reshape(
+            num * MAX_LOBES, 3
+        )
+
+    e, pdf = eval_lobe(flat_type, flat_param, tile(n), tile(wi), tile(wo))
+    return e.reshape(num, MAX_LOBES), pdf.reshape(num, MAX_LOBES)
+
+
 def bsdf_f(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, wo: jnp.ndarray):
     """Evaluate the container (reference bsdf_t::f, src/bsdf.cpp:113-131).
 
@@ -52,15 +73,12 @@ def bsdf_f(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, wo: jnp.ndarray):
     incident-cosine factor, as the reference does inside f().
     Returns (N, 3) rgb.
     """
-    out = jnp.zeros(wi.shape, wi.dtype)
     atl = dot(n, wi)
     match = _hemisphere_match(lobes["flags"], n, wi, wo)  # (N, L)
-    for i in range(MAX_LOBES):
-        active = i < lobes["n"]
-        e, _ = eval_lobe(lobes["type"][:, i], lobes["param"][:, i], n, wi, wo)
-        contrib = e[..., None] * lobes["weight"][:, i] * atl[..., None]
-        out = out + jnp.where((active & match[:, i])[..., None], contrib, 0.0)
-    return out
+    active = jnp.arange(MAX_LOBES)[None, :] < lobes["n"][:, None]
+    e, _ = _eval_all_slots(lobes, n, wi, wo)  # (N, L)
+    contrib = e[..., None] * lobes["weight"] * atl[..., None, None]  # (N, L, 3)
+    return jnp.where((active & match)[..., None], contrib, 0.0).sum(axis=1)
 
 
 def bsdf_sample(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, u2: jnp.ndarray):
@@ -87,20 +105,19 @@ def bsdf_sample(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, u2: jnp.ndarray):
     result = f_s[..., None] * weight_sel  # (N, 3)
 
     # fold in other flag-compatible lobes (one-sample mixture,
-    # reference src/bsdf.cpp:226-247)
-    matched = jnp.ones((num,), jnp.int32)
-    for i in range(MAX_LOBES):
-        flags_i = lobes["flags"][:, i]
-        subset = (flags_sel & flags_i) == flags_i
-        cond = (i != idx) & (i < lobes["n"]) & subset
-        hemi = _hemisphere_match(flags_i, n, wi, wo)
-        use = cond & hemi
-        e_i, pdf_i = eval_lobe(lobes["type"][:, i], lobes["param"][:, i], n, wi, wo)
-        result = result + jnp.where(
-            use[..., None], e_i[..., None] * lobes["weight"][:, i], 0.0
-        )
-        pdf = pdf + jnp.where(use, pdf_i, 0.0)
-        matched = matched + use.astype(jnp.int32)
+    # reference src/bsdf.cpp:226-247) — one flattened eval over all slots
+    slot = jnp.arange(MAX_LOBES)[None, :]
+    flags_all = lobes["flags"]  # (N, L)
+    subset = (flags_sel[:, None] & flags_all) == flags_all
+    cond = (slot != idx[:, None]) & (slot < lobes["n"][:, None]) & subset
+    hemi = _hemisphere_match(flags_all, n, wi, wo)  # (N, L)
+    use = cond & hemi
+    e_all, pdf_all = _eval_all_slots(lobes, n, wi, wo)
+    result = result + jnp.where(
+        use[..., None], e_all[..., None] * lobes["weight"], 0.0
+    ).sum(axis=1)
+    pdf = pdf + jnp.where(use, pdf_all, 0.0).sum(axis=1)
+    matched = 1 + use.sum(axis=1)
 
     pdf = pdf / matched.astype(pdf.dtype)
     result = jnp.where(selected_valid[..., None], result, 0.0)

@@ -47,7 +47,7 @@ from phosphorus_mk2_tpu.core.material import (
 from phosphorus_mk2_tpu.math import frame as tsf
 from phosphorus_mk2_tpu.math.fresnel import dielectric
 from phosphorus_mk2_tpu.math.sampling import UNIFORM_DISC_PDF, cosine_hemisphere
-from phosphorus_mk2_tpu.math.vec import dot, normalize
+from phosphorus_mk2_tpu.math.vec import dot, normalize, safe_pow, safe_sqrt
 
 INV_PI = 1.0 / jnp.pi
 
@@ -77,9 +77,9 @@ def ggx_D(ax, ay, v):
 def ggx_Lambda(ax, ay, v):
     cos2 = tsf.cos2_theta(v)
     sin2 = jnp.maximum(0.0, 1.0 - cos2)
-    abs_tan = jnp.sqrt(_safe_div(sin2, cos2))
+    abs_tan = safe_sqrt(_safe_div(sin2, cos2))
     # reference quirk: alpha = sqrt(cos2_phi*ax*ay + sin2_phi*ax*ay) = sqrt(ax*ay)
-    alpha = jnp.sqrt(ax * ay)
+    alpha = safe_sqrt(ax * ay)
     a2t2 = (alpha * abs_tan) ** 2
     lam = (-1.0 + jnp.sqrt(1.0 + a2t2)) * 0.5
     return jnp.where(cos2 == 0.0, 0.0, lam)
@@ -101,7 +101,7 @@ def ggx_sample_slope(cos_theta, u, v):
     slope_x_ni = r_ni * jnp.cos(phi_ni)
     slope_y_ni = r_ni * jnp.sin(phi_ni)
 
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = safe_sqrt(1.0 - cos_theta * cos_theta)
     safe_cos = jnp.where(cos_theta == 0.0, 1.0, cos_theta)
     tan_theta = sin_theta / safe_cos
     safe_tan = jnp.where(tan_theta == 0.0, 1.0, tan_theta)
@@ -113,7 +113,7 @@ def ggx_sample_slope(cos_theta, u, v):
     tmp = _safe_div(1.0, denom)
     tmp = jnp.minimum(tmp, 1e10)
     B = tan_theta
-    Dterm = jnp.sqrt(jnp.maximum(B * B * tmp * tmp - (A * A - B * B) * tmp, 0.0))
+    Dterm = safe_sqrt(B * B * tmp * tmp - (A * A - B * B) * tmp)
     slope_x1 = B * tmp - Dterm
     slope_x2 = B * tmp + Dterm
     slope_x = jnp.where((A < 0.0) | (slope_x2 > 1.0 / safe_tan), slope_x1, slope_x2)
@@ -175,14 +175,14 @@ def _sheen_L(x, r):
     c = interp(p0[2], p1[2])
     d = interp(p0[3], p1[3])
     e = interp(p0[4], p1[4])
-    xc = jnp.power(jnp.maximum(x, 0.0), c)
+    xc = safe_pow(x, c)
     return a / (1.0 + b * xc) + d * x + e
 
 
 def sheen_D(r, v):
     sin_t = tsf.sin_theta(v)
     oor = _safe_div(1.0, r)
-    return (2.0 + oor) * jnp.power(jnp.maximum(sin_t, 0.0), oor) / (2.0 * jnp.pi)
+    return (2.0 + oor) * safe_pow(sin_t, oor) / (2.0 * jnp.pi)
 
 
 def sheen_Lambda(r, v):
@@ -416,7 +416,7 @@ def sample_lobe(lobe_type, params, n, wi, u2):
     eta_r = jnp.where(entering, _safe_div(1.0, eta0, eps=0.0), eta0)
     cos_t_abs = jnp.abs(cos_t)
     arg = 1.0 - eta_r * eta_r * sin_t
-    dnp = jnp.sqrt(jnp.maximum(arg, 0.0))
+    dnp = safe_sqrt(arg)
     nk = eta_r * cos_t_abs - dnp
     wo_refr = -wi * eta_r[..., None] + nn * nk[..., None]
     f_refr = jnp.where(arg >= 0.0, 1.0, 0.0)
@@ -444,7 +444,7 @@ def sample_lobe(lobe_type, params, n, wi, u2):
     cos_ti = li_wh
     sin2_ti = jnp.maximum(0.0, 1.0 - cos_ti * cos_ti)
     sin2_tt = eta_t * eta_t * sin2_ti
-    cos_tt = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tt))
+    cos_tt = safe_sqrt(1.0 - sin2_tt)
     lo_t = -li * eta_t[..., None] + (eta_t * cos_ti - cos_tt)[..., None] * wh
     sqrt_denom = dot(li, wh) + eta_t * dot(lo_t, wh)
     dwh_dwi = jnp.abs(

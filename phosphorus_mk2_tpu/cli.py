@@ -1,0 +1,129 @@
+"""Command-line render driver.
+
+Counterpart of the reference CLI (reference src/core.cpp:37-90 flags):
+  -o/--output, -s/--samples, -d/--depth, -p/--paths-per-sample,
+  -1/--single (one device), -c/--host-only (CPU), --progressive,
+  --normals, -v/--verbose
+plus TPU-era additions (--spp-per-pass, --no-bvh, --pallas, --seed,
+--checkpoint-dir, --width/--height overrides, --png preview).
+
+Pipeline mirrors the reference main() (src/core.cpp:125-187): import
+scene -> build device scene (+BVH) -> discover devices/mesh -> render
+passes -> write EXR, with wall-clock timing printed like the reference's
+"Rendering time" (src/core.cpp:173-177).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="phosphorus_mk2_tpu",
+        description="TPU-native differentiable path tracer",
+    )
+    p.add_argument("scene", help="YAML scene file (or builtin: scene name)")
+    p.add_argument("-o", "--output", default="out.exr")
+    p.add_argument("-s", "--samples", type=int, default=16)
+    p.add_argument("-d", "--depth", type=int, default=9)
+    p.add_argument("-p", "--paths-per-sample", type=int, default=1)
+    p.add_argument("-1", "--single", action="store_true", help="use one device")
+    p.add_argument("-c", "--host-only", action="store_true", help="force CPU")
+    p.add_argument("--progressive", action="store_true")
+    p.add_argument("--normals", action="store_true", help="write normals AOV")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--spp-per-pass", type=int, default=4)
+    p.add_argument("--no-bvh", action="store_true")
+    p.add_argument("--pallas", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--png", default=None, help="also write a tonemapped PNG")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    return p
+
+
+BUILTIN_SCENES = ("sphere_in_box", "cornell_box", "multi_bsdf_scene")
+
+
+def load_scene(name: str):
+    if name.startswith("builtin:"):
+        import phosphorus_mk2_tpu.scenes as scenes
+
+        builder = name.split(":", 1)[1]
+        if builder not in BUILTIN_SCENES:
+            raise SystemExit(f"unknown builtin scene {builder!r}; have {BUILTIN_SCENES}")
+        return getattr(scenes, builder)()
+    from phosphorus_mk2_tpu.io.yaml_scene import import_scene
+
+    return import_scene(name)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.host_only:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    from phosphorus_mk2_tpu.accel.bvh_builder import attach_bvh
+    from phosphorus_mk2_tpu.core.options import Options
+    from phosphorus_mk2_tpu.io.exr import write_film, write_png
+    from phosphorus_mk2_tpu.renderer import Renderer
+
+    t_import = time.time()
+    scene = load_scene(args.scene)
+    if args.width:
+        scene.camera.width = args.width
+    if args.height:
+        scene.camera.height = args.height
+    if args.verbose:
+        print(f"Imported scene in {time.time() - t_import:.2f}s "
+              f"({len(scene.meshes)} meshes, {len(scene.materials)} materials)")
+
+    options = Options(
+        output=args.output,
+        samples_per_pixel=args.samples,
+        paths_per_sample=args.paths_per_sample,
+        path_depth=args.depth,
+        progressive=args.progressive,
+        render_normals=args.normals,
+        verbose=args.verbose,
+        samples_per_pass=args.spp_per_pass,
+        use_bvh=not args.no_bvh,
+        use_pallas=args.pallas,
+        seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+    )
+
+    n_devices = 1 if args.single else None
+    renderer = Renderer(scene, options, n_devices=n_devices)
+    if args.verbose:
+        print(f"Devices: {renderer.mesh.devices.size} x "
+              f"{jax.devices()[0].platform}")
+
+    t0 = time.time()
+    film = renderer.render()
+    dt = time.time() - t0
+    rays = (
+        scene.camera.width * scene.camera.height * args.samples * args.depth * 2
+    )
+    print(f"Rendering time: {dt:.2f}s ({rays / dt / 1e6:.2f} Mrays/s nominal)")
+
+    write_film(args.output, film if args.normals else {k: film[k] for k in ("color", "alpha")})
+    if args.png:
+        write_png(args.png, film["color"])
+    if args.verbose:
+        print(f"Wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

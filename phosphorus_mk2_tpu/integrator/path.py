@@ -59,17 +59,38 @@ from phosphorus_mk2_tpu.math.vec import (
 )
 
 
-def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False):
-    """Pick the traversal backend: BVH if built, else the brute oracle."""
-    if use_bvh and scene.bvh is not None:
-        from phosphorus_mk2_tpu.accel.traverse import (
-            intersect_bvh,
-            occluded_bvh,
+def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False, kind: str = "auto"):
+    """Pick the traversal backend.
+
+    kind: "auto" (block traversal when a BVH is attached, brute
+    otherwise), "block" (shared-stack block traversal — the TPU
+    performance path), "per_ray" (vmapped per-ray stacks — oracle),
+    "brute" (dense all-pairs — oracle for tiny scenes).
+    """
+    has_bvh = use_bvh and scene.bvh is not None
+    if kind == "auto":
+        kind = "block" if has_bvh else "brute"
+    if kind in ("block", "per_ray") and not has_bvh:
+        raise ValueError(f"tracer kind {kind!r} requires an attached BVH")
+
+    if kind == "block":
+        if use_pallas:
+            from phosphorus_mk2_tpu.accel.pallas_traverse import (
+                intersect_pallas,
+                occluded_pallas,
+            )
+
+            return intersect_pallas, occluded_pallas
+        from phosphorus_mk2_tpu.accel.block_traverse import (
+            intersect_blocks,
+            occluded_blocks,
         )
 
-        closest = functools.partial(intersect_bvh, use_pallas=use_pallas)
-        occluded = functools.partial(occluded_bvh, use_pallas=use_pallas)
-        return closest, occluded
+        return intersect_blocks, occluded_blocks
+    if kind == "per_ray":
+        from phosphorus_mk2_tpu.accel.traverse import intersect_bvh, occluded_bvh
+
+        return intersect_bvh, occluded_bvh
     from phosphorus_mk2_tpu.accel.intersect import intersect_brute, occluded_brute
 
     return intersect_brute, occluded_brute
@@ -247,27 +268,28 @@ def _bits_to_float(bits: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(mantissa, jnp.float32) - 1.0
 
 
-def render_pass(
+def render_pass_pixels(
     scene,
     cam_params,
     key,
     sample_offset,
     n_samples: int,
+    px,
+    py,
     *,
-    width: int,
-    height: int,
     max_depth: int,
     tracer,
 ):
-    """Accumulate ``n_samples`` samples for the full frame. Jittable.
+    """Accumulate ``n_samples`` samples for an arbitrary pixel wavefront.
 
-    Returns dict of sums (not yet divided by spp): color (H*W, 3),
-    normal (H*W, 3), alpha (H*W,).
+    px, py: (N,) pixel coordinates — THE sharding axis: shard these over
+    a device mesh and the whole integrator runs SPMD with the scene
+    replicated (the TPU replacement for the reference's atomic tile
+    queue, src/jobs/tiles.hpp:40).
+
+    Returns dict of per-pixel sums (not yet divided by spp).
     """
-    n = width * height
-    ids = jnp.arange(n, dtype=jnp.int32)
-    px = ids % width
-    py = ids // width
+    n = px.shape[0]
 
     def one(carry, s):
         c_sum, n_sum, a_sum = carry
@@ -290,6 +312,36 @@ def render_pass(
     )
     (c, nrm, a), _ = jax.lax.scan(one, init, jnp.arange(n_samples))
     return {"color": c, "normal": nrm, "alpha": a}
+
+
+def render_pass(
+    scene,
+    cam_params,
+    key,
+    sample_offset,
+    n_samples: int,
+    *,
+    width: int,
+    height: int,
+    max_depth: int,
+    tracer,
+):
+    """Accumulate ``n_samples`` samples for the full frame. Jittable."""
+    n = width * height
+    ids = jnp.arange(n, dtype=jnp.int32)
+    px = ids % width
+    py = ids // width
+    return render_pass_pixels(
+        scene,
+        cam_params,
+        key,
+        sample_offset,
+        n_samples,
+        px,
+        py,
+        max_depth=max_depth,
+        tracer=tracer,
+    )
 
 
 def render_aovs(

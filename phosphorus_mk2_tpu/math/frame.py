@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from phosphorus_mk2_tpu.math.vec import cross, dot, normalize
+from phosphorus_mk2_tpu.math.vec import cross, dot, normalize, safe_sqrt
 
 
 def make_frame(n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -83,7 +83,7 @@ def sin2_theta(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def sin_theta(v: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(sin2_theta(v))
+    return safe_sqrt(1.0 - cos2_theta(v))
 
 
 def tan_theta(v: jnp.ndarray) -> jnp.ndarray:

@@ -3,6 +3,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from phosphorus_mk2_tpu.math.vec import safe_sqrt
+
 
 def dielectric(cosi: jnp.ndarray, eta) -> jnp.ndarray:
     """Fresnel reflectance for a dielectric interface.
@@ -15,7 +17,7 @@ def dielectric(cosi: jnp.ndarray, eta) -> jnp.ndarray:
     eta_eff = jnp.where(cosi < 0.0, 1.0 / jnp.where(eta == 0.0, 1.0, eta), eta)
     c = jnp.abs(cosi)
     g2 = eta_eff * eta_eff - 1.0 + c * c
-    g = jnp.sqrt(jnp.maximum(g2, 0.0))
+    g = safe_sqrt(g2)
     denom_a = jnp.where(g + c == 0.0, 1.0, g + c)
     A = (g - c) / denom_a
     denom_b = c * (g - c) + 1.0

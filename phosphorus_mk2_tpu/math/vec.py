@@ -43,6 +43,24 @@ def jax_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
     return lax.rsqrt(x)
 
 
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt clamped at 0 with a NaN-free backward pass.
+
+    ``sqrt(maximum(x, 0))`` produces inf/NaN cotangents at x <= 0 even
+    when the result is masked by ``where`` downstream (the classic JAX
+    double-where pitfall); this variant has gradient 0 there instead.
+    """
+    y = jnp.sqrt(jnp.where(x > 0.0, x, 1.0))
+    return jnp.where(x > 0.0, y, 0.0)
+
+
+def safe_pow(x: jnp.ndarray, e) -> jnp.ndarray:
+    """x**e for x >= 0 with zero gradient at x <= 0 (avoids e*0^(e-1)
+    NaNs in the backward pass for fractional exponents)."""
+    y = jnp.power(jnp.where(x > 0.0, x, 1.0), e)
+    return jnp.where(x > 0.0, y, 0.0)
+
+
 def offset(p: jnp.ndarray, n: jnp.ndarray, invert=None) -> jnp.ndarray:
     """Push a point off the surface along the normal to avoid self-hits.
 

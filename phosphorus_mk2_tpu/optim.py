@@ -1,0 +1,134 @@
+"""Inverse rendering: recover scene parameters from target images.
+
+Realizes BASELINE.json config 5 (recover BSDF albedo + light emission via
+pixel-loss gradients). No counterpart exists in the reference — its
+renderer is forward-only; differentiability is the point of this
+framework.
+
+Design: the render pass is differentiable w.r.t. SceneData leaves; a
+trainable subset is lifted into a params dict, spliced into the scene
+per step, and optimized with optax under a jitted SPMD train step
+(wavefront sharded, params replicated, gradient all-reduce by XLA).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from phosphorus_mk2_tpu.core.camera import camera_to_params
+from phosphorus_mk2_tpu.integrator.path import make_tracer, render_pass_pixels
+from phosphorus_mk2_tpu.parallel.sharding import make_wave_mesh, shard_pixels
+
+TRAINABLE_FIELDS = ("emission", "lobe_weight", "lobe_param", "vertices", "normals")
+
+
+class InverseRenderer:
+    """Gradient-descent loop recovering scene parameters.
+
+    target: (H, W, 3) image. trainable: subset of TRAINABLE_FIELDS.
+    spp: samples per gradient step (fresh RNG per step — stochastic
+    gradient over the path integral).
+    """
+
+    def __init__(
+        self,
+        scene,
+        target,
+        trainable=("emission", "lobe_weight"),
+        *,
+        learning_rate: float = 5e-2,
+        spp: int = 4,
+        max_depth: int = 3,
+        use_bvh: bool = True,
+        n_devices=None,
+        seed: int = 0,
+        optimizer=None,
+        fresh_rng: bool = True,
+    ):
+        """fresh_rng: new sample paths per step (unbiased stochastic
+        gradients); False reuses one fixed path set — deterministic
+        convergence to that set's noise floor (useful for tests)."""
+        for f in trainable:
+            if f not in TRAINABLE_FIELDS:
+                raise ValueError(f"not trainable: {f}")
+        self.scene = scene
+        self.trainable = tuple(trainable)
+        self.spp = spp
+
+        data = scene.build()
+        if use_bvh:
+            from phosphorus_mk2_tpu.accel.bvh_builder import attach_bvh
+
+            data = attach_bvh(data)
+        self.data = data
+        self.mesh = make_wave_mesh(n_devices)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.data = jax.device_put(self.data, NamedSharding(self.mesh, P()))
+
+        cam = camera_to_params(scene.camera)
+        tracer = make_tracer(data, use_bvh)
+        w, h = scene.camera.width, scene.camera.height
+        px, py, n_valid = shard_pixels(self.mesh, w, h)
+        target_flat = np.asarray(target, np.float32).reshape(-1, 3)
+        pad = px.shape[0] - target_flat.shape[0]
+        target_flat = np.pad(target_flat, ((0, pad), (0, 0)))
+        target_dev = jax.device_put(
+            target_flat, NamedSharding(self.mesh, P("wave"))
+        )
+        mask = (np.arange(px.shape[0]) < n_valid).astype(np.float32)[:, None]
+        mask_dev = jax.device_put(mask, NamedSharding(self.mesh, P("wave")))
+
+        self.params = {f: getattr(data, f) for f in self.trainable}
+        self.opt = optimizer or optax.adam(learning_rate)
+        self.opt_state = self.opt.init(self.params)
+        self.key = jax.random.key(seed)
+        self._step_count = 0
+
+        def loss_fn(params, scene_data, key):
+            sd = dataclasses.replace(scene_data, **params)
+            out = render_pass_pixels(
+                sd, cam, key, 0, spp, px, py, max_depth=max_depth, tracer=tracer
+            )
+            img = out["color"] / spp
+            err = (img - target_dev) * mask_dev
+            return jnp.sum(err * err) / jnp.sum(mask_dev)
+
+        @jax.jit
+        def train_step(params, opt_state, scene_data, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, scene_data, key)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._train_step = train_step
+
+        self._fresh_rng = fresh_rng
+
+    def step(self) -> float:
+        if self._fresh_rng:
+            self.key, sub = jax.random.split(self.key)
+        else:
+            sub = self.key
+        self.params, self.opt_state, loss = self._train_step(
+            self.params, self.opt_state, self.data, sub
+        )
+        self._step_count += 1
+        return float(loss)
+
+    def run(self, n_steps: int, log_every: int = 0) -> list:
+        losses = []
+        for i in range(n_steps):
+            loss = self.step()
+            losses.append(loss)
+            if log_every and (i + 1) % log_every == 0:
+                print(f"step {i + 1}: loss={loss:.6f}")
+        return losses
+
+    def current_scene(self):
+        return dataclasses.replace(self.data, **self.params)

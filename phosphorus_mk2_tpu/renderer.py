@@ -1,0 +1,124 @@
+"""High-level render session: device mesh, passes, checkpoint/resume.
+
+Counterpart of the reference's device/runtime layer — ``xpu_t``
+discover/preprocess/start/join (reference src/xpu.hpp:12-39) and the
+Blender ``session_t`` (reference plugins/blender/session.cpp:19-168) —
+reimagined for TPU:
+
+* "discover" = jax.devices() -> a wave Mesh (parallel/sharding.py);
+* "preprocess" = Scene.build() + BVH build + device_put (replicated);
+* "start/join" = jitted SPMD render passes; progressive accumulation is
+  device-resident sums, gathered to host only for output;
+* checkpoint/resume (absent in the reference, SURVEY.md §5.4): film
+  sums + sample counter + RNG seed are written per pass, so a killed
+  render resumes exactly.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from phosphorus_mk2_tpu.accel.bvh_builder import attach_bvh
+from phosphorus_mk2_tpu.core.options import Options
+from phosphorus_mk2_tpu.core.scene import Scene
+from phosphorus_mk2_tpu.parallel.sharding import (
+    gather_film,
+    make_sharded_render,
+    make_wave_mesh,
+)
+
+
+class Renderer:
+    def __init__(self, scene: Scene, options: Options | None = None, n_devices=None):
+        self.scene = scene
+        self.options = options or Options()
+        self.data = scene.build()
+        if self.options.use_bvh:
+            self.data = attach_bvh(self.data)
+        self.mesh = make_wave_mesh(n_devices)
+        self.fn, self.px, self.py, self.n_valid = make_sharded_render(
+            self.mesh,
+            self.data,
+            scene.camera,
+            max_depth=self.options.path_depth,
+            use_bvh=self.options.use_bvh,
+            use_pallas=self.options.use_pallas,
+        )
+        self.key = jax.random.key(self.options.seed)
+
+    # --- progressive pass loop ---------------------------------------
+
+    def passes(self):
+        """Yield (film, done_spp) after each accumulation pass."""
+        opts = self.options
+        spp = opts.samples_per_pixel
+        per_pass = max(1, min(opts.samples_per_pass, spp))
+        sums, done = self._load_checkpoint()
+        pass_idx = 0
+        while done < spp:
+            todo = min(per_pass, spp - done)
+            out = self.fn(self.data, self.key, done, todo)
+            if sums is None:
+                sums = out
+            else:
+                sums = jax.tree_util.tree_map(lambda a, b: a + b, sums, out)
+            done += todo
+            pass_idx += 1
+            if (
+                opts.checkpoint_dir
+                and opts.checkpoint_every
+                and pass_idx % opts.checkpoint_every == 0
+            ):
+                self._save_checkpoint(sums, done)
+            yield gather_film(
+                sums, self.scene.camera.width, self.scene.camera.height, done
+            ), done
+        if opts.checkpoint_dir and opts.checkpoint_every:
+            self._save_checkpoint(sums, done)
+
+    def render(self) -> dict:
+        film = None
+        for film, done in self.passes():
+            if self.options.verbose:
+                print(f"  pass: {done}/{self.options.samples_per_pixel} spp")
+        return film
+
+    # --- checkpointing ------------------------------------------------
+
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.options.checkpoint_dir, "film_checkpoint.npz")
+
+    def _save_checkpoint(self, sums, done: int) -> None:
+        os.makedirs(self.options.checkpoint_dir, exist_ok=True)
+        tmp = self._ckpt_path() + ".tmp"
+        np.savez(
+            tmp if not tmp.endswith(".npz") else tmp[: -len(".npz")] + "_tmp",
+            color=np.asarray(sums["color"]),
+            normal=np.asarray(sums["normal"]),
+            alpha=np.asarray(sums["alpha"]),
+            done=done,
+            seed=self.options.seed,
+        )
+        src = (tmp if not tmp.endswith(".npz") else tmp[: -len(".npz")] + "_tmp") + ".npz"
+        os.replace(src, self._ckpt_path())
+
+    def _load_checkpoint(self):
+        if not self.options.checkpoint_dir:
+            return None, 0
+        path = self._ckpt_path()
+        if not os.path.exists(path):
+            return None, 0
+        ck = np.load(path)
+        if int(ck["seed"]) != self.options.seed:
+            return None, 0
+        import jax.numpy as jnp
+
+        sums = {
+            "color": jnp.asarray(ck["color"]),
+            "normal": jnp.asarray(ck["normal"]),
+            "alpha": jnp.asarray(ck["alpha"]),
+        }
+        return sums, int(ck["done"])

@@ -61,6 +61,40 @@ def test_bvh_matches_brute_force():
         assert same_tri.mean() > 0.99
 
 
+def test_block_traversal_matches_brute_force():
+    from phosphorus_mk2_tpu.accel.block_traverse import (
+        intersect_blocks,
+        occluded_blocks,
+    )
+
+    for build in (sphere_in_box, cornell_box):
+        data = attach_bvh(build().build())
+        p, d = _random_rays(300, seed=11)
+        ref = intersect_brute(data, p, d)
+        got = intersect_blocks(data, p, d, block=128)
+        np.testing.assert_array_equal(np.asarray(got["hit"]), np.asarray(ref["hit"]))
+        hit = np.asarray(ref["hit"])
+        np.testing.assert_allclose(
+            np.asarray(got["t"])[hit], np.asarray(ref["t"])[hit], rtol=1e-5
+        )
+        tmax = jnp.full((300,), 1.2)
+        refo = occluded_brute(data, p, d, tmax)
+        goto = occluded_blocks(data, p, d, tmax, block=128)
+        np.testing.assert_array_equal(np.asarray(goto), np.asarray(refo))
+
+
+def test_occlusion_tmax_zero_disabled():
+    from phosphorus_mk2_tpu.accel.block_traverse import occluded_blocks
+
+    data = attach_bvh(sphere_in_box().build())
+    p = jnp.zeros((4, 3))
+    d = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (4, 1))
+    tmax = jnp.array([2.0, 0.0, -1.0, 2.0])
+    occ = np.asarray(occluded_blocks(data, p, d, tmax))
+    assert occ[0] and occ[3]
+    assert not occ[1] and not occ[2]
+
+
 def test_bvh_occlusion_matches_brute_force():
     data = attach_bvh(cornell_box().build())
     p, d = _random_rays(256, seed=7)

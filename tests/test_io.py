@@ -1,0 +1,220 @@
+"""I/O tests: EXR round-trip, OBJ loading, YAML scene import."""
+import os
+import textwrap
+
+import numpy as np
+
+from phosphorus_mk2_tpu.core.material import (
+    DIFFUSE,
+    MICROFACET,
+    OREN_NAYAR,
+    REFLECTION,
+)
+from phosphorus_mk2_tpu.io.exr import read_exr, write_exr, write_film
+from phosphorus_mk2_tpu.io.obj import load_obj
+from phosphorus_mk2_tpu.io.yaml_scene import compile_material, import_scene
+
+
+def test_exr_round_trip(tmp_path):
+    rng = np.random.default_rng(0)
+    channels = {
+        "R": rng.random((7, 5)).astype(np.float32),
+        "G": rng.random((7, 5)).astype(np.float32),
+        "B": rng.random((7, 5)).astype(np.float32),
+        "normal.X": rng.random((7, 5)).astype(np.float32),
+    }
+    path = str(tmp_path / "t.exr")
+    write_exr(path, channels)
+    back = read_exr(path)
+    for k, v in channels.items():
+        np.testing.assert_array_equal(back[k], v)
+
+
+def test_exr_readable_by_imageio(tmp_path):
+    """Cross-check our EXR bytes with an independent reader if available."""
+    import imageio.v3 as iio
+
+    color = np.random.default_rng(1).random((6, 4, 3)).astype(np.float32)
+    path = str(tmp_path / "film.exr")
+    write_film(path, {"color": color, "alpha": np.ones((6, 4), np.float32)})
+    try:
+        img = iio.imread(path)
+    except Exception:
+        return  # no freeimage plugin in this env; round-trip test covers us
+    np.testing.assert_allclose(img[..., :3], color, atol=1e-6)
+
+
+def test_obj_loader(tmp_path):
+    obj = textwrap.dedent(
+        """
+        # quad + tri, with normals
+        v 0 0 0
+        v 1 0 0
+        v 1 1 0
+        v 0 1 0
+        v 2 0 0
+        vn 0 0 1
+        usemtl white
+        f 1//1 2//1 3//1 4//1
+        f 1//1 2//1 5//1
+        """
+    )
+    path = tmp_path / "m.obj"
+    path.write_text(obj)
+    meshes = load_obj(str(path))
+    assert len(meshes) == 1
+    m = meshes[0]
+    assert m.faces.shape == (3, 3)  # quad fan-triangulated + tri
+    assert m.material == "white"
+    assert m.normals is not None
+
+
+def test_compile_material_nodes():
+    spec = {
+        "shaders": [
+            {
+                "name": "diffuse_bsdf_node",
+                "layer": "d",
+                "parameters": [
+                    {"name": "Cs", "type": "rgb", "value": [0.5, 0.25, 0.125]},
+                ],
+            },
+            {"name": "material_node", "layer": "root"},
+        ],
+        "connect": [
+            {"from": {"layer": "d", "slot": "Cout"}, "to": {"layer": "root", "slot": "Cs"}}
+        ],
+    }
+    mat = compile_material("m", spec)
+    assert len(mat.lobes) == 1
+    assert mat.lobes[0].type == DIFFUSE
+    np.testing.assert_allclose(mat.lobes[0].weight, (0.5, 0.25, 0.125))
+
+    # glossy with roughness -> microfacet; sharp -> mirror
+    spec2 = {
+        "shaders": [
+            {
+                "name": "glossy_bsdf_node",
+                "layer": "g",
+                "parameters": [{"name": "roughness", "type": "float", "value": 0.3}],
+            }
+        ]
+    }
+    assert compile_material("g", spec2).lobes[0].type == MICROFACET
+    spec3 = {
+        "shaders": [
+            {
+                "name": "glossy_bsdf_node",
+                "layer": "g",
+                "parameters": [
+                    {"name": "distribution", "type": "string", "value": "sharp"}
+                ],
+            }
+        ]
+    }
+    assert compile_material("g", spec3).lobes[0].type == REFLECTION
+
+    # mix of two closures scales weights
+    spec4 = {
+        "shaders": [
+            {"name": "diffuse_bsdf_node", "layer": "a"},
+            {
+                "name": "diffuse_bsdf_node",
+                "layer": "b",
+                "parameters": [{"name": "roughness", "type": "float", "value": 20.0}],
+            },
+            {
+                "name": "mix_closure_node",
+                "layer": "mix",
+                "parameters": [{"name": "fac", "type": "float", "value": 0.25}],
+            },
+        ],
+        "connect": [
+            {"from": {"layer": "a", "slot": "Cout"}, "to": {"layer": "mix", "slot": "A"}},
+            {"from": {"layer": "b", "slot": "Cout"}, "to": {"layer": "mix", "slot": "B"}},
+        ],
+    }
+    mat4 = compile_material("mix", spec4)
+    assert [lobe.type for lobe in mat4.lobes] == [DIFFUSE, OREN_NAYAR]
+    np.testing.assert_allclose(mat4.lobes[0].weight, (0.75, 0.75, 0.75))
+    np.testing.assert_allclose(mat4.lobes[1].weight, (0.25, 0.25, 0.25))
+
+
+SCENE_YAML = """
+materials:
+  white:
+    shaders:
+      - name: diffuse_bsdf_node
+        layer: d
+        type: surface
+        parameters:
+          - {name: Cs, type: rgb, value: [0.7, 0.7, 0.7]}
+  lamp:
+    shaders:
+      - name: diffuse_emitter_node
+        layer: e
+        type: surface
+        parameters:
+          - {name: power, type: float, value: 10.0}
+  sky:
+    shaders:
+      - name: background_node
+        layer: b
+        type: surface
+        parameters:
+          - {name: Cs, type: rgb, value: [0.2, 0.3, 0.5]}
+data:
+  - path: tri.obj
+camera:
+  position: [0, 0, 3]
+  at: [0, 0, 0]
+  up: [0, 1, 0]
+  width: 16
+  height: 16
+world:
+  environment: sky
+"""
+
+TRI_OBJ = """
+v -1 -1 0
+v 1 -1 0
+v 0 1 0
+usemtl white
+f 1 2 3
+"""
+
+
+def test_import_yaml_scene(tmp_path):
+    (tmp_path / "scene.yaml").write_text(SCENE_YAML)
+    (tmp_path / "tri.obj").write_text(TRI_OBJ)
+    scene = import_scene(str(tmp_path / "scene.yaml"))
+    assert len(scene.materials) == 3
+    assert len(scene.meshes) == 1
+    assert scene.environment is not None
+    assert scene.camera.width == 16
+    data = scene.build()
+    assert data.num_lights == 1  # infinite only (lamp unused by geometry)
+    assert data.env_mat == scene.material_id("sky")
+
+
+def test_cli_end_to_end(tmp_path):
+    (tmp_path / "scene.yaml").write_text(SCENE_YAML)
+    (tmp_path / "tri.obj").write_text(TRI_OBJ)
+    out = str(tmp_path / "out.exr")
+    png = str(tmp_path / "out.png")
+    from phosphorus_mk2_tpu.cli import main
+
+    rc = main(
+        [
+            str(tmp_path / "scene.yaml"),
+            "-o", out, "--png", png,
+            "-s", "2", "-d", "2", "--spp-per-pass", "2", "--no-bvh", "-v",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(out)
+    assert os.path.exists(png)
+    img = read_exr(out)
+    assert np.isfinite(img["R"]).all()
+    # background pixels show the sky color
+    assert abs(float(img["B"][0, 0]) - 0.5) < 1e-4
