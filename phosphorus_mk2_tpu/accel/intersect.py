@@ -64,7 +64,71 @@ def mt_intersect(p, d, a, b, c):
     return t, u, v, valid
 
 
-def intersect_brute(scene, p, d, tmax=None, chunk: int = 512):
+def mt_intersect_soa(p, d, a, e0, e1):
+    """SoA Moller-Trumbore: rays (N,) components vs triangles (C,)
+    components, all intermediates (N, C) with the triangle axis last —
+    the layout the TPU's (8, 128) vector tiles want (the same reason the
+    reference uses SoA packets, src/math/soa.hpp).
+
+    p, d: tuples of (N, 1) components; a, e0, e1: tuples of (1, C).
+    Returns (t, u, v, valid) as (N, C).
+    """
+    px, py, pz = p
+    dx, dy, dz = d
+    ax, ay, az = a
+    e0x, e0y, e0z = e0
+    e1x, e1y, e1z = e1
+
+    # pvec = d x e1
+    pvx = dy * e1z - dz * e1y
+    pvy = dz * e1x - dx * e1z
+    pvz = dx * e1y - dy * e1x
+    det = e0x * pvx + e0y * pvy + e0z * pvz
+    near_zero = jnp.abs(det) < DET_EPS
+    ood = 1.0 / jnp.where(near_zero, 1.0, det)
+    # tvec = o - a
+    tx = px - ax
+    ty = py - ay
+    tz = pz - az
+    u = (tx * pvx + ty * pvy + tz * pvz) * ood
+    # qvec = tvec x e0
+    qvx = ty * e0z - tz * e0y
+    qvy = tz * e0x - tx * e0z
+    qvz = tx * e0y - ty * e0x
+    v = (dx * qvx + dy * qvy + dz * qvz) * ood
+    t = (e1x * qvx + e1y * qvy + e1z * qvz) * ood
+    valid = (
+        (~near_zero)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t >= 0.0)
+    )
+    return t, u, v, valid
+
+
+def _soa_rays(p, d):
+    return (
+        (p[:, 0:1], p[:, 1:2], p[:, 2:3]),
+        (d[:, 0:1], d[:, 1:2], d[:, 2:3]),
+    )
+
+
+def _soa_tris(verts, f):
+    a = verts[f[:, 0]]
+    b = verts[f[:, 1]]
+    c = verts[f[:, 2]]
+    e0 = b - a
+    e1 = c - a
+
+    def comp(x):
+        return (x[None, :, 0], x[None, :, 1], x[None, :, 2])
+
+    return comp(a), comp(e0), comp(e1)
+
+
+def intersect_brute(scene, p, d, tmax=None, chunk: int | None = None):
     """Closest-hit over the whole triangle soup (oracle tracer).
 
     p, d: (N, 3). tmax: (N,) or None.
@@ -72,6 +136,10 @@ def intersect_brute(scene, p, d, tmax=None, chunk: int = 512):
     """
     n = p.shape[0]
     num_tris = scene.faces.shape[0]
+    if chunk is None:
+        # pad-waste matters for small scenes: round up to a VPU-lane
+        # multiple instead of a fixed 512
+        chunk = min(512, max(128, ((num_tris + 127) // 128) * 128))
     pad = (-num_tris) % chunk
     faces = jnp.pad(scene.faces, ((0, pad), (0, 0)))
     tri_ids = jnp.arange(num_tris + pad, dtype=jnp.int32)
@@ -89,16 +157,13 @@ def intersect_brute(scene, p, d, tmax=None, chunk: int = 512):
     )
 
     verts = scene.vertices
+    rp, rd = _soa_rays(p, d)
 
     def body(carry, chunk_data):
         best_t, best_tri, best_u, best_v = carry
         f, ids, ok = chunk_data
-        a = verts[f[:, 0]]  # (C, 3)
-        b = verts[f[:, 1]]
-        c = verts[f[:, 2]]
-        t, u, v, valid = mt_intersect(
-            p[:, None, :], d[:, None, :], a[None], b[None], c[None]
-        )  # (N, C)
+        a, e0, e1 = _soa_tris(verts, f)
+        t, u, v, valid = mt_intersect_soa(rp, rd, a, e0, e1)  # (N, C)
         valid = valid & ok[None, :] & (t < best_t[:, None])
         t_masked = jnp.where(valid, t, T_MAX)
         j = jnp.argmin(t_masked, axis=1)  # (N,)
@@ -117,10 +182,30 @@ def intersect_brute(scene, p, d, tmax=None, chunk: int = 512):
     return {"t": t, "tri": tri, "u": u, "v": v, "hit": hit}
 
 
-def occluded_brute(scene, p, d, tmax, chunk: int = 512):
-    """Any-hit test for shadow rays (t in [0, tmax))."""
-    res = intersect_brute(scene, p, d, tmax, chunk=chunk)
-    return res["hit"]
+def occluded_brute(scene, p, d, tmax, chunk: int | None = None):
+    """Any-hit test for shadow rays (t in [0, tmax)) — no closest-hit
+    bookkeeping, just an OR-reduce per chunk."""
+    n = p.shape[0]
+    num_tris = scene.faces.shape[0]
+    if chunk is None:
+        chunk = min(512, max(128, ((num_tris + 127) // 128) * 128))
+    pad = (-num_tris) % chunk
+    faces = jnp.pad(scene.faces, ((0, pad), (0, 0)))
+    tri_valid = (jnp.arange(num_tris + pad) < num_tris).reshape(-1, chunk)
+    faces = faces.reshape(-1, chunk, 3)
+    verts = scene.vertices
+
+    rp, rd = _soa_rays(p, d)
+
+    def body(hit_any, chunk_data):
+        f, ok = chunk_data
+        a, e0, e1 = _soa_tris(verts, f)
+        t, _, _, valid = mt_intersect_soa(rp, rd, a, e0, e1)
+        valid = valid & ok[None, :] & (t < tmax[:, None])
+        return hit_any | valid.any(axis=1), None
+
+    hit, _ = jax.lax.scan(body, jnp.zeros((n,), bool), (faces, tri_valid))
+    return hit
 
 
 def reintersect(scene, tri, p, d):

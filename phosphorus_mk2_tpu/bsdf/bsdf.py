@@ -32,7 +32,71 @@ def gather_lobes(scene, mat_id: jnp.ndarray) -> dict:
         "param": scene.lobe_param[mat_id],    # (N, L, P)
         "flags": scene.lobe_flags[mat_id],    # (N, L)
         "n": scene.n_lobes[mat_id],           # (N,)
+        # static: which lobe types exist anywhere in the scene (compiles
+        # away absent BSDF code paths); empty tuple means "unknown -> all"
+        "present": getattr(scene, "lobe_types_present", ()) or None,
+        # static: max lobes on any material (0 -> unknown -> MAX_LOBES)
+        "max_lobes": getattr(scene, "max_lobes_used", 0) or MAX_LOBES,
     }
+
+
+def apply_textures(scene, lobes: dict, mat_id: jnp.ndarray, st: jnp.ndarray) -> dict:
+    """Fold texture lookups into the per-hit lobe weights (the TPU form
+    of the reference's OSL texture() closure inputs). No-op (compiled
+    away) for untextured scenes."""
+    if not getattr(scene, "has_textures", False):
+        return lobes
+    from phosphorus_mk2_tpu.core.texture import sample_texture
+
+    L = lobes.get("max_lobes", MAX_LOBES)
+    tex = scene.lobe_tex[mat_id][:, :L]  # (N, L)
+    n = mat_id.shape[0]
+    flat_tex = tex.reshape(-1)
+    flat_st = jnp.broadcast_to(st[:, None, :], (n, L, 2)).reshape(-1, 2)
+    factor = sample_texture(scene.tex_atlas, scene.tex_info, flat_tex, flat_st)
+    factor = factor.reshape(n, L, 3)
+    weight = jnp.where(
+        (tex >= 0)[..., None], lobes["weight"][:, :L] * factor, lobes["weight"][:, :L]
+    )
+    out = dict(lobes)
+    out["weight"] = jnp.concatenate(
+        [weight, lobes["weight"][:, L:]], axis=1
+    ) if L < MAX_LOBES else weight
+    return out
+
+
+def emission_at(scene, mat_id: jnp.ndarray, st: jnp.ndarray) -> jnp.ndarray:
+    """Per-hit emission, texture-modulated when the material has an
+    emission texture."""
+    e = scene.emission[mat_id]
+    if not getattr(scene, "has_textures", False):
+        return e
+    from phosphorus_mk2_tpu.core.texture import sample_texture
+
+    t = scene.emission_tex[mat_id]
+    f = sample_texture(scene.tex_atlas, scene.tex_info, t, st)
+    return jnp.where((t >= 0)[..., None], e * f, e)
+
+
+def env_emission_at(scene, d: jnp.ndarray) -> jnp.ndarray:
+    """Environment radiance for miss directions (lat-long env map when
+    the environment material is textured)."""
+    if scene.env_mat < 0:
+        return jnp.zeros((d.shape[0], 3), jnp.float32)
+    e = jnp.broadcast_to(scene.emission[scene.env_mat], (d.shape[0], 3))
+    if not getattr(scene, "has_textures", False):
+        return e
+    from phosphorus_mk2_tpu.core.texture import (
+        direction_to_latlong_uv,
+        sample_texture,
+    )
+
+    t = scene.emission_tex[scene.env_mat]
+    uv = direction_to_latlong_uv(d)
+    f = sample_texture(
+        scene.tex_atlas, scene.tex_info, jnp.full(d.shape[:1], t, jnp.int32), uv
+    )
+    return jnp.where(t >= 0, e * f, e)
 
 
 def _hemisphere_match(flags_i, n, wi, wo):
@@ -54,16 +118,18 @@ def _eval_all_slots(lobes: dict, n, wi, wo):
     batch. Returns (e, pdf) of shape (N, L).
     """
     num = wi.shape[0]
-    flat_type = lobes["type"].reshape(-1)
-    flat_param = lobes["param"].reshape(num * MAX_LOBES, -1)
+    L = lobes.get("max_lobes", MAX_LOBES)
+    flat_type = lobes["type"][:, :L].reshape(-1)
+    flat_param = lobes["param"][:, :L].reshape(num * L, -1)
 
     def tile(x):
-        return jnp.broadcast_to(x[:, None, :], (num, MAX_LOBES, 3)).reshape(
-            num * MAX_LOBES, 3
-        )
+        return jnp.broadcast_to(x[:, None, :], (num, L, 3)).reshape(num * L, 3)
 
-    e, pdf = eval_lobe(flat_type, flat_param, tile(n), tile(wi), tile(wo))
-    return e.reshape(num, MAX_LOBES), pdf.reshape(num, MAX_LOBES)
+    e, pdf = eval_lobe(
+        flat_type, flat_param, tile(n), tile(wi), tile(wo),
+        present=lobes.get("present"),
+    )
+    return e.reshape(num, L), pdf.reshape(num, L)
 
 
 def bsdf_f(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, wo: jnp.ndarray):
@@ -73,11 +139,14 @@ def bsdf_f(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, wo: jnp.ndarray):
     incident-cosine factor, as the reference does inside f().
     Returns (N, 3) rgb.
     """
+    L = lobes.get("max_lobes", MAX_LOBES)
     atl = dot(n, wi)
-    match = _hemisphere_match(lobes["flags"], n, wi, wo)  # (N, L)
-    active = jnp.arange(MAX_LOBES)[None, :] < lobes["n"][:, None]
+    match = _hemisphere_match(lobes["flags"][:, :L], n, wi, wo)  # (N, L)
+    active = jnp.arange(L)[None, :] < lobes["n"][:, None]
     e, _ = _eval_all_slots(lobes, n, wi, wo)  # (N, L)
-    contrib = e[..., None] * lobes["weight"] * atl[..., None, None]  # (N, L, 3)
+    contrib = (
+        e[..., None] * lobes["weight"][:, :L] * atl[..., None, None]
+    )  # (N, L, 3)
     return jnp.where((active & match)[..., None], contrib, 0.0).sum(axis=1)
 
 
@@ -99,27 +168,31 @@ def bsdf_sample(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, u2: jnp.ndarray):
     flags_sel = lobes["flags"][rows, idx]
 
     remapped = jnp.stack([u_remap, u2[..., 1]], axis=-1)
-    f_s, wo, pdf = sample_lobe(type_sel, param_sel, n, wi, remapped)
+    f_s, wo, pdf = sample_lobe(
+        type_sel, param_sel, n, wi, remapped, present=lobes.get("present")
+    )
 
     selected_valid = pdf != 0.0
     result = f_s[..., None] * weight_sel  # (N, 3)
 
     # fold in other flag-compatible lobes (one-sample mixture,
-    # reference src/bsdf.cpp:226-247) — one flattened eval over all slots
-    slot = jnp.arange(MAX_LOBES)[None, :]
-    flags_all = lobes["flags"]  # (N, L)
-    subset = (flags_sel[:, None] & flags_all) == flags_all
-    cond = (slot != idx[:, None]) & (slot < lobes["n"][:, None]) & subset
-    hemi = _hemisphere_match(flags_all, n, wi, wo)  # (N, L)
-    use = cond & hemi
-    e_all, pdf_all = _eval_all_slots(lobes, n, wi, wo)
-    result = result + jnp.where(
-        use[..., None], e_all[..., None] * lobes["weight"], 0.0
-    ).sum(axis=1)
-    pdf = pdf + jnp.where(use, pdf_all, 0.0).sum(axis=1)
-    matched = 1 + use.sum(axis=1)
-
-    pdf = pdf / matched.astype(pdf.dtype)
+    # reference src/bsdf.cpp:226-247) — one flattened eval over all
+    # slots; compiled away entirely for single-lobe scenes (static)
+    L = lobes.get("max_lobes", MAX_LOBES)
+    if L > 1:
+        slot = jnp.arange(L)[None, :]
+        flags_all = lobes["flags"][:, :L]  # (N, L)
+        subset = (flags_sel[:, None] & flags_all) == flags_all
+        cond = (slot != idx[:, None]) & (slot < lobes["n"][:, None]) & subset
+        hemi = _hemisphere_match(flags_all, n, wi, wo)  # (N, L)
+        use = cond & hemi
+        e_all, pdf_all = _eval_all_slots(lobes, n, wi, wo)
+        result = result + jnp.where(
+            use[..., None], e_all[..., None] * lobes["weight"][:, :L], 0.0
+        ).sum(axis=1)
+        pdf = pdf + jnp.where(use, pdf_all, 0.0).sum(axis=1)
+        matched = 1 + use.sum(axis=1)
+        pdf = pdf / matched.astype(pdf.dtype)
     result = jnp.where(selected_valid[..., None], result, 0.0)
     pdf = jnp.where(selected_valid, pdf, 0.0)
     return result, wo, pdf, flags_sel

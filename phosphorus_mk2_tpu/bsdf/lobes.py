@@ -336,44 +336,63 @@ def oren_nayar_f(a, b, n_frame, wi, wo):
     return (a + b * max_cos * sin_alpha * tan_beta) * INV_PI
 
 
-def eval_lobe(lobe_type, params, n, wi, wo):
+ALL_TYPES = (
+    DIFFUSE,
+    OREN_NAYAR,
+    REFLECTION,
+    REFRACTION,
+    MICROFACET,
+    MICROFACET_REFRACT,
+    SHEEN,
+    TRANSPARENT,
+)
+
+
+def eval_lobe(lobe_type, params, n, wi, wo, present=None):
     """Evaluate one lobe slot for every hit; branch-free type dispatch.
 
     lobe_type: (N,) int32; params: (N, P); n: (N, 3) shading normal;
     wi/wo: (N, 3) per the reference's call-site conventions.
+    present: static tuple of lobe types the scene uses — absent types
+    compile to nothing (an all-diffuse scene never evaluates GGX code).
     Returns (f (N,), pdf (N,)). The weight multiply happens in the
     container (bsdf/bsdf.py), matching the reference.
     """
+    present = set(present) if present else set(ALL_TYPES)
     n_frame = tsf.make_frame(n)
     n_wi = dot(n, wi)
-
-    f_diffuse = jnp.full(n_wi.shape, INV_PI)
     pdf_cosine_quirk = n_wi * INV_PI  # reference quirk: cos of wi arg
 
-    f_on = oren_nayar_f(params[..., 1], params[..., 2], n_frame, wi, wo)
-
-    ax = params[..., 0]
-    ay = params[..., 1]
-    f_mf = ct_f(ax, ay, n_frame, wi, wo)
-    pdf_mf = ct_pdf(ax, ay, n_frame, wi, wo)
-
-    eta = params[..., 2]
-    f_mfr = ct_refract_f(ax, ay, eta, n_frame, wi, wo)
-    pdf_mfr = ct_refract_pdf(ax, ay, eta, n_frame, wi, wo)
-
-    r_sheen = params[..., 0]
-    f_sh = sheen_f(r_sheen, n_frame, wi, wo)
+    branches = {}
+    if DIFFUSE in present:
+        branches[DIFFUSE] = (jnp.full(n_wi.shape, INV_PI), pdf_cosine_quirk)
+    if OREN_NAYAR in present:
+        branches[OREN_NAYAR] = (
+            oren_nayar_f(params[..., 1], params[..., 2], n_frame, wi, wo),
+            pdf_cosine_quirk,
+        )
+    if MICROFACET in present:
+        ax, ay = params[..., 0], params[..., 1]
+        branches[MICROFACET] = (
+            ct_f(ax, ay, n_frame, wi, wo),
+            ct_pdf(ax, ay, n_frame, wi, wo),
+        )
+    if MICROFACET_REFRACT in present:
+        ax, ay, eta = params[..., 0], params[..., 1], params[..., 2]
+        branches[MICROFACET_REFRACT] = (
+            ct_refract_f(ax, ay, eta, n_frame, wi, wo),
+            ct_refract_pdf(ax, ay, eta, n_frame, wi, wo),
+        )
+    if SHEEN in present:
+        branches[SHEEN] = (
+            sheen_f(params[..., 0], n_frame, wi, wo),
+            pdf_cosine_quirk,
+        )
+    # REFLECTION / REFRACTION / TRANSPARENT eval to 0 (specular)
 
     f = jnp.zeros_like(n_wi)
     pdf = jnp.zeros_like(n_wi)
-    for t, (ft, pt) in {
-        DIFFUSE: (f_diffuse, pdf_cosine_quirk),
-        OREN_NAYAR: (f_on, pdf_cosine_quirk),
-        MICROFACET: (f_mf, pdf_mf),
-        MICROFACET_REFRACT: (f_mfr, pdf_mfr),
-        SHEEN: (f_sh, pdf_cosine_quirk),
-        # REFLECTION / REFRACTION / TRANSPARENT eval to 0 (specular)
-    }.items():
+    for t, (ft, pt) in branches.items():
         sel = lobe_type == t
         f = jnp.where(sel, ft, f)
         pdf = jnp.where(sel, pt, pdf)
@@ -385,101 +404,121 @@ def eval_lobe(lobe_type, params, n, wi, wo):
 # src/bsdf.cpp:133-224)
 # ---------------------------------------------------------------------------
 
-def sample_lobe(lobe_type, params, n, wi, u2):
+def sample_lobe(lobe_type, params, n, wi, u2, present=None):
     """Sample one (already-selected) lobe for every hit.
 
+    present: static tuple of lobe types in the scene (see eval_lobe).
     Returns (f (N,), wo (N,3), pdf (N,)).
     """
+    present = set(present) if present else set(ALL_TYPES)
     n_frame = tsf.make_frame(n)
     li = tsf.to_local(n_frame, wi)
-
-    # cosine-weighted warp shared by diffuse / oren-nayar / sheen
-    cos_dir, cos_pdf = cosine_hemisphere(u2)
-    wo_cos = tsf.to_world(n_frame, cos_dir)
-
-    f_diffuse = jnp.full(cos_pdf.shape, INV_PI)
-    f_on = oren_nayar_f(params[..., 1], params[..., 2], n_frame, wi, wo_cos)
-    f_sh = sheen_f(params[..., 0], n_frame, wi, wo_cos)
-
-    # mirror reflection (reference reflection::sample)
     n_wi = dot(n, wi)
-    wo_refl = -wi + (2.0 * n_wi)[..., None] * n
-    f_refl = jnp.ones_like(n_wi)
-    pdf_refl = jnp.ones_like(n_wi)
 
-    # pure refraction (reference refraction::sample)
-    eta0 = params[..., 0]
-    cos_t = n_wi
-    sin_t = jnp.maximum(0.0, 1.0 - cos_t * cos_t)
-    entering = cos_t > 0.0
-    nn = jnp.where(entering[..., None], n, -n)
-    eta_r = jnp.where(entering, _safe_div(1.0, eta0, eps=0.0), eta0)
-    cos_t_abs = jnp.abs(cos_t)
-    arg = 1.0 - eta_r * eta_r * sin_t
-    dnp = safe_sqrt(arg)
-    nk = eta_r * cos_t_abs - dnp
-    wo_refr = -wi * eta_r[..., None] + nn * nk[..., None]
-    f_refr = jnp.where(arg >= 0.0, 1.0, 0.0)
-    pdf_refr = jnp.ones_like(n_wi)
+    branches = {}
 
-    # GGX reflect (reference cook_torrance::sample)
-    ax, ay = params[..., 0], params[..., 1]
-    wh, dpdf = ggx_sample_wh(ax, ay, li, u2)
-    li_wh = dot(li, wh)
-    lo_mf = -li + (2.0 * li_wh)[..., None] * wh
-    wo_mf = tsf.to_world(n_frame, lo_mf)
-    pdf_mf = dpdf * _safe_div(1.0, 4.0 * li_wh)
-    f_mf_val = ct_f(ax, ay, n_frame, wi, wo_mf)
-    ok_mf = (
-        (li[..., 1] != 0.0)
-        & (li_wh >= 0.0)
-        & tsf.ts_in_same_hemisphere(li, lo_mf)
-    )
-    f_mf = jnp.where(ok_mf, f_mf_val, 0.0)
-    pdf_mf = jnp.where(ok_mf, pdf_mf, 0.0)
+    cosine_types = {DIFFUSE, OREN_NAYAR, SHEEN} & present
+    if cosine_types:
+        # cosine-weighted warp shared by diffuse / oren-nayar / sheen
+        cos_dir, cos_pdf = cosine_hemisphere(u2)
+        wo_cos = tsf.to_world(n_frame, cos_dir)
+        if DIFFUSE in present:
+            branches[DIFFUSE] = (
+                jnp.full(cos_pdf.shape, INV_PI), wo_cos, cos_pdf
+            )
+        if OREN_NAYAR in present:
+            branches[OREN_NAYAR] = (
+                oren_nayar_f(params[..., 1], params[..., 2], n_frame, wi, wo_cos),
+                wo_cos,
+                cos_pdf,
+            )
+        if SHEEN in present:
+            branches[SHEEN] = (
+                sheen_f(params[..., 0], n_frame, wi, wo_cos), wo_cos, cos_pdf
+            )
 
-    # GGX refract (reference cook_torrance::refract::sample)
-    eta_p = params[..., 2]
-    eta_t = jnp.where(li[..., 1] > 0.0, _safe_div(1.0, eta_p), eta_p)
-    cos_ti = li_wh
-    sin2_ti = jnp.maximum(0.0, 1.0 - cos_ti * cos_ti)
-    sin2_tt = eta_t * eta_t * sin2_ti
-    cos_tt = safe_sqrt(1.0 - sin2_tt)
-    lo_t = -li * eta_t[..., None] + (eta_t * cos_ti - cos_tt)[..., None] * wh
-    sqrt_denom = dot(li, wh) + eta_t * dot(lo_t, wh)
-    dwh_dwi = jnp.abs(
-        (eta_t * eta_t * dot(lo_t, wh)) * _safe_div(1.0, sqrt_denom * sqrt_denom)
-    )
-    wo_mfr = tsf.to_world(n_frame, lo_t)
-    pdf_mfr = dpdf * dwh_dwi
-    f_mfr_val = ct_refract_f(ax, ay, eta_p, n_frame, wi, wo_mfr)
-    ok_mfr = (li[..., 1] != 0.0) & (li_wh >= 0.0) & (sin2_tt < 1.0)
-    # eta == 1 passthrough branch (reference refract::sample:127-135)
-    passthrough = eta_p == 1.0
-    f_mfr = jnp.where(ok_mfr, f_mfr_val, 0.0)
-    f_mfr = jnp.where(passthrough, 1.0, f_mfr)
-    pdf_mfr = jnp.where(ok_mfr, pdf_mfr, 0.0)
-    pdf_mfr = jnp.where(passthrough, 1.0, pdf_mfr)
-    wo_mfr = jnp.where(passthrough[..., None], -wi, wo_mfr)
+    if REFLECTION in present:
+        # mirror reflection (reference reflection::sample)
+        wo_refl = -wi + (2.0 * n_wi)[..., None] * n
+        branches[REFLECTION] = (
+            jnp.ones_like(n_wi), wo_refl, jnp.ones_like(n_wi)
+        )
 
-    # transparent passthrough (reference bsdf.cpp:205-214)
-    wo_tr = -wi
-    f_tr = jnp.ones_like(n_wi)
-    pdf_tr = jnp.ones_like(n_wi)
+    if REFRACTION in present:
+        # pure refraction (reference refraction::sample)
+        eta0 = params[..., 0]
+        cos_t = n_wi
+        sin_t = jnp.maximum(0.0, 1.0 - cos_t * cos_t)
+        entering = cos_t > 0.0
+        nn = jnp.where(entering[..., None], n, -n)
+        eta_r = jnp.where(entering, _safe_div(1.0, eta0, eps=0.0), eta0)
+        cos_t_abs = jnp.abs(cos_t)
+        arg = 1.0 - eta_r * eta_r * sin_t
+        dnp = safe_sqrt(arg)
+        nk = eta_r * cos_t_abs - dnp
+        wo_refr = -wi * eta_r[..., None] + nn * nk[..., None]
+        f_refr = jnp.where(arg >= 0.0, 1.0, 0.0)
+        branches[REFRACTION] = (f_refr, wo_refr, jnp.ones_like(n_wi))
+
+    ggx_types = {MICROFACET, MICROFACET_REFRACT} & present
+    if ggx_types:
+        ax, ay = params[..., 0], params[..., 1]
+        wh, dpdf = ggx_sample_wh(ax, ay, li, u2)
+        li_wh = dot(li, wh)
+
+    if MICROFACET in present:
+        # GGX reflect (reference cook_torrance::sample)
+        lo_mf = -li + (2.0 * li_wh)[..., None] * wh
+        wo_mf = tsf.to_world(n_frame, lo_mf)
+        pdf_mf = dpdf * _safe_div(1.0, 4.0 * li_wh)
+        f_mf_val = ct_f(ax, ay, n_frame, wi, wo_mf)
+        ok_mf = (
+            (li[..., 1] != 0.0)
+            & (li_wh >= 0.0)
+            & tsf.ts_in_same_hemisphere(li, lo_mf)
+        )
+        branches[MICROFACET] = (
+            jnp.where(ok_mf, f_mf_val, 0.0),
+            wo_mf,
+            jnp.where(ok_mf, pdf_mf, 0.0),
+        )
+
+    if MICROFACET_REFRACT in present:
+        # GGX refract (reference cook_torrance::refract::sample)
+        eta_p = params[..., 2]
+        eta_t = jnp.where(li[..., 1] > 0.0, _safe_div(1.0, eta_p), eta_p)
+        cos_ti = li_wh
+        sin2_ti = jnp.maximum(0.0, 1.0 - cos_ti * cos_ti)
+        sin2_tt = eta_t * eta_t * sin2_ti
+        cos_tt = safe_sqrt(1.0 - sin2_tt)
+        lo_t = -li * eta_t[..., None] + (eta_t * cos_ti - cos_tt)[..., None] * wh
+        sqrt_denom = dot(li, wh) + eta_t * dot(lo_t, wh)
+        dwh_dwi = jnp.abs(
+            (eta_t * eta_t * dot(lo_t, wh)) * _safe_div(1.0, sqrt_denom * sqrt_denom)
+        )
+        wo_mfr = tsf.to_world(n_frame, lo_t)
+        pdf_mfr = dpdf * dwh_dwi
+        f_mfr_val = ct_refract_f(ax, ay, eta_p, n_frame, wi, wo_mfr)
+        ok_mfr = (li[..., 1] != 0.0) & (li_wh >= 0.0) & (sin2_tt < 1.0)
+        # eta == 1 passthrough branch (reference refract::sample:127-135)
+        passthrough = eta_p == 1.0
+        f_mfr = jnp.where(ok_mfr, f_mfr_val, 0.0)
+        f_mfr = jnp.where(passthrough, 1.0, f_mfr)
+        pdf_mfr = jnp.where(ok_mfr, pdf_mfr, 0.0)
+        pdf_mfr = jnp.where(passthrough, 1.0, pdf_mfr)
+        wo_mfr = jnp.where(passthrough[..., None], -wi, wo_mfr)
+        branches[MICROFACET_REFRACT] = (f_mfr, wo_mfr, pdf_mfr)
+
+    if TRANSPARENT in present:
+        # transparent passthrough (reference bsdf.cpp:205-214)
+        branches[TRANSPARENT] = (
+            jnp.ones_like(n_wi), -wi, jnp.ones_like(n_wi)
+        )
 
     f = jnp.zeros_like(n_wi)
     pdf = jnp.zeros_like(n_wi)
     wo = jnp.zeros_like(wi)
-    for t, (ft, wt, pt) in {
-        DIFFUSE: (f_diffuse, wo_cos, cos_pdf),
-        OREN_NAYAR: (f_on, wo_cos, cos_pdf),
-        SHEEN: (f_sh, wo_cos, cos_pdf),
-        REFLECTION: (f_refl, wo_refl, pdf_refl),
-        REFRACTION: (f_refr, wo_refr, pdf_refr),
-        MICROFACET: (f_mf, wo_mf, pdf_mf),
-        MICROFACET_REFRACT: (f_mfr, wo_mfr, pdf_mfr),
-        TRANSPARENT: (f_tr, wo_tr, pdf_tr),
-    }.items():
+    for t, (ft, wt, pt) in branches.items():
         sel = lobe_type == t
         f = jnp.where(sel, ft, f)
         pdf = jnp.where(sel, pt, pdf)

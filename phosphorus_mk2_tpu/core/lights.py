@@ -88,5 +88,6 @@ def sample_lights(scene, u_pick: jnp.ndarray, u_tri: jnp.ndarray, u_uv: jnp.ndar
     n = jnp.where(is_area[..., None], n_area, 0.0)
     pdf = jnp.where(is_area, pdf_area, pdf_inf) / nl
     valid = is_area & (scene.light_count[light_idx] > 0)
+    st = jnp.where(is_area[..., None], sp["st"], 0.0)
 
-    return {"p": p, "n": n, "pdf": pdf, "mat": lmat, "valid": valid}
+    return {"p": p, "n": n, "pdf": pdf, "mat": lmat, "valid": valid, "st": st}

@@ -91,6 +91,7 @@ class Lobe:
     type: int
     weight: tuple  # rgb
     params: tuple = (0.0, 0.0, 0.0, 0.0)  # padded to NUM_PARAMS
+    texture: int = -1  # scene texture id multiplying the weight, or -1
 
     def padded_params(self) -> list[float]:
         p = list(self.params)[:NUM_PARAMS]
@@ -104,6 +105,7 @@ class Material:
     name: str = ""
     lobes: list = dataclasses.field(default_factory=list)
     emission: tuple = (0.0, 0.0, 0.0)
+    emission_texture: int = -1  # modulates emission (env maps, lit panels)
 
     @property
     def is_emitter(self) -> bool:
@@ -184,8 +186,10 @@ def pack_materials(materials: list) -> dict:
     lobe_weight = np.zeros((m, MAX_LOBES, 3), np.float32)
     lobe_param = np.zeros((m, MAX_LOBES, NUM_PARAMS), np.float32)
     lobe_flags = np.zeros((m, MAX_LOBES), np.int32)
+    lobe_tex = np.full((m, MAX_LOBES), -1, np.int32)
     n_lobes = np.zeros((m,), np.int32)
     emission = np.zeros((m, 3), np.float32)
+    emission_tex = np.full((m,), -1, np.int32)
     for i, mat in enumerate(materials):
         if len(mat.lobes) > MAX_LOBES:
             raise ValueError(
@@ -193,16 +197,20 @@ def pack_materials(materials: list) -> dict:
             )
         n_lobes[i] = len(mat.lobes)
         emission[i] = mat.emission
+        emission_tex[i] = mat.emission_texture
         for j, lobe in enumerate(mat.lobes):
             lobe_type[i, j] = lobe.type
             lobe_weight[i, j] = lobe.weight
             lobe_param[i, j] = lobe.padded_params()
             lobe_flags[i, j] = LOBE_FLAGS.get(lobe.type, 0)
+            lobe_tex[i, j] = lobe.texture
     return {
         "lobe_type": lobe_type,
         "lobe_weight": lobe_weight,
         "lobe_param": lobe_param,
         "lobe_flags": lobe_flags,
+        "lobe_tex": lobe_tex,
         "n_lobes": n_lobes,
         "emission": emission,
+        "emission_tex": emission_tex,
     }

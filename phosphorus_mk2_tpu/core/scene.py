@@ -68,6 +68,11 @@ class SceneData:
     light_count: jnp.ndarray     # (NL,) i32
     light_area: jnp.ndarray      # (NL,) f32 (total area of area light)
     light_tris: jnp.ndarray      # (LT,) i32 global triangle ids
+    # textures (atlas, see core/texture.py)
+    tex_atlas: jnp.ndarray = None   # (AH, AW, 3) f32
+    tex_info: jnp.ndarray = None    # (K, 4) i32 (y0, x0, h, w)
+    lobe_tex: jnp.ndarray = None    # (M, L) i32, -1 = untextured
+    emission_tex: jnp.ndarray = None  # (M,) i32
     # acceleration structure (None = brute force oracle)
     bvh: dict | None = None
     # static metadata
@@ -75,8 +80,25 @@ class SceneData:
     env_mat: int = -1            # material id of the environment, or -1
     has_normals: bool = False
     has_uvs: bool = False
+    # which lobe types any material uses — static, so the dense BSDF
+    # dispatch compiles away the absent types entirely (an all-diffuse
+    # scene never evaluates GGX/sheen code)
+    lobe_types_present: tuple = ()
+    # max lobes on any one material — static; single-lobe scenes skip
+    # the one-sample-mixture machinery entirely
+    max_lobes_used: int = 0
+    # static: untextured scenes compile away all atlas sampling
+    has_textures: bool = False
 
-    STATIC_FIELDS = ("num_lights", "env_mat", "has_normals", "has_uvs")
+    STATIC_FIELDS = (
+        "num_lights",
+        "env_mat",
+        "has_normals",
+        "has_uvs",
+        "lobe_types_present",
+        "max_lobes_used",
+        "has_textures",
+    )
 
     @property
     def num_tris(self) -> int:
@@ -93,8 +115,17 @@ class Scene:
         self.meshes: list[Mesh] = []
         self.materials: list[Material] = []
         self._material_ids: dict[str, int] = {}
+        self.textures: list = []
         self.camera: Camera = Camera()
         self.environment: int | None = None  # material id
+
+    def add_texture(self, texture) -> int:
+        from phosphorus_mk2_tpu.core.texture import Texture
+
+        if not isinstance(texture, Texture):
+            texture = Texture(texture)
+        self.textures.append(texture)
+        return len(self.textures) - 1
 
     # --- construction -------------------------------------------------
 
@@ -209,6 +240,10 @@ class Scene:
 
         mats = pack_materials(self.materials)
 
+        from phosphorus_mk2_tpu.core.texture import pack_textures
+
+        atlas = pack_textures(self.textures)
+
         return SceneData(
             vertices=jnp.asarray(vertices),
             faces=jnp.asarray(faces_arr),
@@ -229,11 +264,22 @@ class Scene:
             light_count=jnp.asarray(lc),
             light_area=jnp.asarray(la),
             light_tris=jnp.asarray(np.concatenate(light_tris)),
+            tex_atlas=jnp.asarray(atlas["atlas"]),
+            tex_info=jnp.asarray(atlas["info"]),
+            lobe_tex=jnp.asarray(mats["lobe_tex"]),
+            emission_tex=jnp.asarray(mats["emission_tex"]),
             bvh=None,
             num_lights=num_lights,
             env_mat=-1 if self.environment is None else int(self.environment),
             has_normals=any(m.normals is not None for m in self.meshes),
             has_uvs=any(m.uvs is not None for m in self.meshes),
+            lobe_types_present=tuple(
+                sorted({lobe.type for m in self.materials for lobe in m.lobes})
+            ),
+            max_lobes_used=max(
+                (len(m.lobes) for m in self.materials), default=0
+            ),
+            has_textures=len(self.textures) > 0,
         )
 
 

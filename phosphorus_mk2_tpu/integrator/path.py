@@ -40,8 +40,11 @@ import jax.numpy as jnp
 
 from phosphorus_mk2_tpu.accel.intersect import reintersect
 from phosphorus_mk2_tpu.bsdf.bsdf import (
+    apply_textures,
     bsdf_f,
     bsdf_sample,
+    emission_at,
+    env_emission_at,
     gather_lobes,
     is_specular_flags,
 )
@@ -96,12 +99,6 @@ def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False, kind: str
     return intersect_brute, occluded_brute
 
 
-def _env_emission(scene):
-    if scene.env_mat < 0:
-        return jnp.zeros((3,), jnp.float32)
-    return scene.emission[scene.env_mat]
-
-
 def trace_sample(
     scene,
     cam_params,
@@ -122,12 +119,15 @@ def trace_sample(
     # jitter across all pixels of a sample index (src/sampling.cpp:98-112);
     # we use per-pixel decorrelated jitter — identical expectation, less
     # structured noise.
-    film_u = _ppn(key, pixel_x, pixel_y, sample_idx, 0, rng.Purpose.FILM, 2)
-    lens_u = _ppn(key, pixel_x, pixel_y, sample_idx, 0, rng.Purpose.LENS, 2)
+    seed32 = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.uint32)
+    pix = (pixel_y.astype(jnp.uint32) << jnp.uint32(16)) | pixel_x.astype(
+        jnp.uint32
+    )
+    u_cam = rng.pixel_uniforms4(seed32, pix, sample_idx, 0, 0)
+    film_u, lens_u = u_cam[:, 0:2], u_cam[:, 2:4]
 
     p0, d0 = generate_rays(cam_params, pixel_x, pixel_y, film_u, lens_u)
 
-    env_e = _env_emission(scene)
     nee_enabled = scene.num_lights > 0
 
     def bounce(carry, b):
@@ -146,12 +146,13 @@ def trace_sample(
         wo_view = -d  # toward the previous vertex (reference flips wi)
         mat = jnp.where(hit, scene.tri_mat[jnp.maximum(tri, 0)], 0)
 
-        e_hit = scene.emission[mat]
+        e_hit = emission_at(scene, mat, sp["st"])
 
         # 1. emission at first/specular vertices; env on miss
         emit_mask = hit & ((b == 0) | spec)
         radiance = radiance + jnp.where(emit_mask[..., None], beta * e_hit, 0.0)
         miss_mask = alive & ~hit
+        env_e = env_emission_at(scene, d)
         radiance = radiance + jnp.where(miss_mask[..., None], beta * env_e, 0.0)
 
         # record first-hit AOVs
@@ -162,14 +163,16 @@ def trace_sample(
             "alpha": jnp.where(first & hit, 1.0, aux["alpha"]),
         }
 
-        lobes = gather_lobes(scene, mat)
+        lobes = apply_textures(scene, gather_lobes(scene, mat), mat, sp["st"])
+
+        # per-bounce randomness: two PCG4D evaluations cover light pick /
+        # light tri / light uv / RR and bsdf lobe / bsdf uv
+        u_light = rng.pixel_uniforms4(seed32, pix, sample_idx, b, 1)
+        u_bsdf = rng.pixel_uniforms4(seed32, pix, sample_idx, b, 2)
 
         # 2. next-event estimation
         if nee_enabled:
-            u_pick = _pp1(key, pixel_x, pixel_y, sample_idx, b, rng.Purpose.LIGHT_PICK)
-            u_tri = _pp1(key, pixel_x, pixel_y, sample_idx, b, rng.Purpose.LIGHT_TRI)
-            u_uv = _pp1(key, pixel_x, pixel_y, sample_idx, b, rng.Purpose.LIGHT_UV)
-            ls = sample_lights(scene, u_pick, u_tri, u_uv)
+            ls = sample_lights(scene, u_light[:, 0], u_light[:, 1], u_light[:, 2])
 
             p_off = offset(hp, hn)
             wi_vec = ls["p"] - p_off
@@ -182,7 +185,7 @@ def trace_sample(
             occ = occluded(scene, p_off, wi, jnp.where(valid, dist, 0.0))
 
             f = bsdf_f(lobes, hn, wi, wo_view)
-            light_e = scene.emission[ls["mat"]]
+            light_e = emission_at(scene, ls["mat"], ls["st"])
             cos_l = jnp.abs(dot(ls["n"], -wi))
             pdf_l = ls["pdf"] * dist * dist / jnp.maximum(cos_l, 1e-20)
             li = (light_e * 4.0) * f / jnp.maximum(pdf_l, 1e-20)[..., None]
@@ -192,7 +195,7 @@ def trace_sample(
         # 3. Russian roulette + termination (reference terminate_path)
         depth_after = b + 1
         alive_next = hit & (depth_after < max_depth)
-        u_rr = _pp1(key, pixel_x, pixel_y, sample_idx, b, rng.Purpose.RR)
+        u_rr = u_light[:, 3]
         q = jnp.maximum(0.05, 1.0 - luminance(jax.lax.stop_gradient(beta)))
         rr_on = alive_next & (depth_after >= 3)
         survive = u_rr >= q
@@ -201,10 +204,7 @@ def trace_sample(
         beta = beta * w[..., None]
 
         # 4. BSDF sampling for the next bounce
-        u_lobe = _pp1(key, pixel_x, pixel_y, sample_idx, b, rng.Purpose.BSDF_LOBE)
-        u_dir = _pp1(key, pixel_x, pixel_y, sample_idx, b, rng.Purpose.BSDF_UV)
-        u2 = jnp.stack([u_lobe, u_dir], axis=-1)
-        f_s, wo, pdf_s, flags = bsdf_sample(lobes, hn, wo_view, u2)
+        f_s, wo, pdf_s, flags = bsdf_sample(lobes, hn, wo_view, u_bsdf[:, 0:2])
 
         dead_f = is_black(f_s) | (pdf_s == 0.0)
         alive_next = alive_next & ~dead_f
@@ -240,32 +240,6 @@ def trace_sample(
         bounce, carry0, jnp.arange(max_depth)
     )
     return radiance, aux["normal"], aux["alpha"]
-
-
-def _ppn(key, px, py, sample_idx, bounce, purpose, dims):
-    k = rng.cell_key(key, sample_idx, bounce, purpose)
-    # hash pixel coordinates into independent streams with one threefry
-    # call for the whole wavefront
-    pix = (py.astype(jnp.uint32) << jnp.uint32(16)) | px.astype(jnp.uint32)
-    bits = jax.vmap(
-        lambda p: jax.random.key_data(jax.random.fold_in(k, p))
-    )(pix)
-    # use the folded key data as uniforms directly (threefry output bits)
-    b = bits[..., :dims] if bits.shape[-1] >= dims else None
-    if b is None:
-        raise ValueError("need more key data")
-    return _bits_to_float(b if dims > 1 else b[..., 0])
-
-
-def _pp1(key, px, py, sample_idx, bounce, purpose):
-    return _ppn(key, px, py, sample_idx, bounce, purpose, 1)
-
-
-def _bits_to_float(bits: jnp.ndarray) -> jnp.ndarray:
-    """uint32 bits -> float32 in [0, 1) (reference to_float idiom,
-    src/sampling.cpp:57-60)."""
-    mantissa = (bits & jnp.uint32(0x007FFFFF)) | jnp.uint32(0x3F800000)
-    return jax.lax.bitcast_convert_type(mantissa, jnp.float32) - 1.0
 
 
 def render_pass_pixels(

@@ -44,6 +44,15 @@ from phosphorus_mk2_tpu.core.material import (
 from phosphorus_mk2_tpu.core.scene import Scene
 
 
+class TextureRef:
+    """A texture-typed value flowing through the graph (texture_node /
+    environment_node outputs)."""
+
+    def __init__(self, tid: int, scale=(1.0, 1.0, 1.0)):
+        self.tid = tid
+        self.scale = np.asarray(scale, np.float32)
+
+
 class ClosureVal:
     """A closure-typed value: weighted lobes + emission."""
 
@@ -56,7 +65,10 @@ class ClosureVal:
         out = ClosureVal(emission=self.emission * _lum_or_scalar(f))
         for lobe in self.lobes:
             w = np.asarray(lobe.weight, np.float32) * f
-            out.lobes.append(Lobe(lobe.type, tuple(w.tolist()), lobe.params))
+            out.lobes.append(
+                Lobe(lobe.type, tuple(w.tolist()), lobe.params, lobe.texture)
+            )
+        out.emission_texture = getattr(self, "emission_texture", -1)
         return out
 
     def __add__(self, other):
@@ -73,26 +85,36 @@ def _lum_or_scalar(f):
 def _color(v, default):
     if v is None:
         return np.asarray(default, np.float32)
+    if isinstance(v, TextureRef):
+        return np.asarray(v.scale, np.float32)
     return np.asarray(v, np.float32)
 
 
-def _eval_node(ntype: str, p: dict):
+def _tex_of(v) -> int:
+    return v.tid if isinstance(v, TextureRef) else -1
+
+
+def _eval_node(ntype: str, p: dict, load_texture=None):
     """Evaluate one shader node to its output value."""
     if ntype == "diffuse_bsdf_node":
         cs = _color(p.get("Cs"), (1, 1, 1))
+        tex = _tex_of(p.get("Cs"))
         rough = float(p.get("roughness", 0.0))
         if rough == 0.0:
-            return ClosureVal([Lobe(DIFFUSE, tuple(cs))])
+            return ClosureVal([Lobe(DIFFUSE, tuple(cs), texture=tex)])
         a, b = oren_nayar_ab(rough)
-        return ClosureVal([Lobe(OREN_NAYAR, tuple(cs), (rough, a, b))])
+        return ClosureVal([Lobe(OREN_NAYAR, tuple(cs), (rough, a, b), texture=tex)])
     if ntype == "glossy_bsdf_node":
         cs = _color(p.get("Cs"), (1, 1, 1))
         rough = float(p.get("roughness", 0.0))
         dist = p.get("distribution", "ggx")
+        tex = _tex_of(p.get("Cs"))
         if dist == "sharp" or rough == 0.0:
-            return ClosureVal([Lobe(REFLECTION, tuple(cs), (0.0,))])
+            return ClosureVal([Lobe(REFLECTION, tuple(cs), (0.0,), texture=tex)])
         alpha = roughness_to_alpha(rough * rough)
-        return ClosureVal([Lobe(MICROFACET, tuple(cs), (alpha, alpha, 0.0))])
+        return ClosureVal(
+            [Lobe(MICROFACET, tuple(cs), (alpha, alpha, 0.0), texture=tex)]
+        )
     if ntype == "refraction_bsdf_node":
         cs = _color(p.get("Cs"), (1, 1, 1))
         rough = float(p.get("roughness", 0.0))
@@ -111,11 +133,23 @@ def _eval_node(ntype: str, p: dict):
     if ntype == "diffuse_emitter_node":
         cs = _color(p.get("Cs"), (1, 1, 1))
         power = float(p.get("power", 1.0))
-        return ClosureVal(emission=cs * power / np.pi)
-    if ntype in ("background_node", "environment_node"):
+        out = ClosureVal(emission=cs * power / np.pi)
+        out.emission_texture = _tex_of(p.get("Cs"))
+        return out
+    if ntype == "background_node":
         cs = _color(p.get("Cs"), (0, 0, 0))
         power = float(p.get("power", 1.0))
-        return ClosureVal(emission=cs * power)
+        out = ClosureVal(emission=cs * power)
+        out.emission_texture = _tex_of(p.get("Cs"))
+        return out
+    if ntype == "texture_node":
+        if load_texture is None:
+            raise ValueError("texture_node without a texture loader")
+        return TextureRef(load_texture(p.get("filename", "")))
+    if ntype == "environment_node":
+        if load_texture is None:
+            raise ValueError("environment_node without a texture loader")
+        return TextureRef(load_texture(p.get("filename", "")))
     if ntype == "material_node":
         v = p.get("Cs")
         return v if isinstance(v, ClosureVal) else ClosureVal()
@@ -142,7 +176,7 @@ def _eval_node(ntype: str, p: dict):
     raise ValueError(f"unsupported shader node type: {ntype}")
 
 
-def compile_material(name: str, spec: dict) -> Material:
+def compile_material(name: str, spec: dict, load_texture=None) -> Material:
     """Interpret a YAML shader graph into a Material."""
     shaders = spec.get("shaders", [])
     edges = spec.get("connect", []) or []
@@ -182,7 +216,7 @@ def compile_material(name: str, spec: dict) -> Material:
         for e in edges:
             if e["to"]["layer"] == l:
                 p[e["to"]["slot"]] = layers[e["from"]["layer"]]["out"]
-        node["out"] = _eval_node(node["type"], p)
+        node["out"] = _eval_node(node["type"], p, load_texture)
 
     root = None
     for l in done:
@@ -193,7 +227,10 @@ def compile_material(name: str, spec: dict) -> Material:
     if not isinstance(root, ClosureVal):
         root = ClosureVal()
     return Material(
-        name=name, lobes=root.lobes, emission=tuple(root.emission.tolist())
+        name=name,
+        lobes=root.lobes,
+        emission=tuple(root.emission.tolist()),
+        emission_texture=getattr(root, "emission_texture", -1),
     )
 
 
@@ -208,8 +245,27 @@ def import_scene(path: str) -> Scene:
 
     scene = Scene()
 
+    tex_cache: dict = {}
+
+    def load_texture(filename: str) -> int:
+        if filename in tex_cache:
+            return tex_cache[filename]
+        fpath = filename
+        if not os.path.isabs(fpath):
+            fpath = os.path.join(base, fpath)
+        import imageio.v3 as iio
+
+        img = np.asarray(iio.imread(fpath), np.float32)
+        if img.dtype == np.uint8 or img.max() > 1.5:
+            img = img / 255.0
+        from phosphorus_mk2_tpu.core.texture import Texture
+
+        tid = scene.add_texture(Texture(img))
+        tex_cache[filename] = tid
+        return tid
+
     for name, spec in (config.get("materials") or {}).items():
-        scene.add_material(compile_material(name, spec))
+        scene.add_material(compile_material(name, spec, load_texture))
 
     for entry in config.get("data") or []:
         data_path = entry["path"]

@@ -35,11 +35,12 @@ def test_recover_emission():
         max_depth=2,
         use_bvh=False,
         seed=1,
-        fresh_rng=False,  # deterministic convergence for the test
+        # fresh paths per step: unbiased stochastic gradients (a FIXED
+        # sample set yields a biased optimum e* = e_true * E[ab]/E[a^2])
+        fresh_rng=True,
     )
-    losses = inv.run(60)
-    # converges to the MC-noise floor between the 2-spp render and the
-    # 4-spp target; emission recovery is the real acceptance criterion
-    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    losses = inv.run(80)
+    # stochastic loss: compare a late-window average to the start
+    assert np.mean(losses[-10:]) < losses[0] * 0.6, losses[::10]
     recovered = np.asarray(inv.params["emission"])[3]
-    np.testing.assert_allclose(recovered, true_e, rtol=0.2)
+    np.testing.assert_allclose(recovered, true_e, rtol=0.25)
