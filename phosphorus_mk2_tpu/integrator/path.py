@@ -88,8 +88,15 @@ def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False, kind: str
             intersect_blocks,
             occluded_blocks,
         )
+        from phosphorus_mk2_tpu.accel.sort import sorted_trace
 
-        return intersect_blocks, occluded_blocks
+        def closest(scene, p, d, tmax=None):
+            return sorted_trace(intersect_blocks, scene, p, d, tmax)
+
+        def occluded(scene, p, d, tmax):
+            return sorted_trace(occluded_blocks, scene, p, d, tmax)
+
+        return closest, occluded
     if kind == "per_ray":
         from phosphorus_mk2_tpu.accel.traverse import intersect_bvh, occluded_bvh
 
