@@ -28,6 +28,8 @@ NUM_BINS = 12       # reference binned_sah_builder.hpp:17
 MAX_LEAF = 8        # reference binned_sah_builder.hpp:18
 WIDTH = 8           # 8-wide nodes, reference node.hpp:12
 SENTINEL = -1
+CLUSTER_TRIS = 128  # triangle-cluster granularity for the sorted
+                    # cluster tracer (accel/cluster_traverse.py)
 
 
 class _BuildCtx:
@@ -214,4 +216,50 @@ def attach_bvh(scene_data, bvh: dict | None = None):
     dev["leaf_e0"] = jnp.asarray(verts[f[..., 1]] - a)
     dev["leaf_e1"] = jnp.asarray(verts[f[..., 2]] - a)
     dev["leaf_id"] = jnp.asarray(ids2)
+
+    # ---- cluster tables for the sorted cluster tracer ----------------
+    # leaf-slot validity from the node tables (padded slots repeat tri 0
+    # and must not contribute to cluster bounds or intersections)
+    valid = np.zeros(ids2.shape, bool)
+    nc = np.asarray(bvh["node_count"])
+    cc = np.asarray(bvh["node_child"])
+    leaf_mask = nc > 0
+    groups = cc[leaf_mask] // MAX_LEAF
+    counts = nc[leaf_mask]
+    for g, cnt in zip(groups, counts):
+        valid[g, :cnt] = True
+
+    C = CLUSTER_TRIS
+    total = ids2.size
+    K = max(1, -(-total // C))
+    pad = K * C - total
+    flat_ids = np.concatenate([ids2.reshape(-1), np.zeros((pad,), np.int32)])
+    flat_valid = np.concatenate([valid.reshape(-1), np.zeros((pad,), bool)])
+    cl_ids = flat_ids.reshape(K, C)
+    cl_valid = flat_valid.reshape(K, C)
+
+    fc = faces[cl_ids]  # (K, C, 3)
+    ca = verts[fc[..., 0]]
+    ce0 = verts[fc[..., 1]] - ca
+    ce1 = verts[fc[..., 2]] - ca
+    # degenerate out invalid slots (det = 0 -> always miss)
+    ce0 = np.where(cl_valid[..., None], ce0, 0.0)
+    ce1 = np.where(cl_valid[..., None], ce1, 0.0)
+
+    tri_pts = verts[fc]  # (K, C, 3, 3)
+    big = np.float32(3.4e38)
+    masked_pts = np.where(cl_valid[..., None, None], tri_pts, np.float32(np.nan))
+    with np.errstate(invalid="ignore"):
+        bmin = np.nanmin(masked_pts.reshape(K, -1, 3), axis=1)
+        bmax = np.nanmax(masked_pts.reshape(K, -1, 3), axis=1)
+    empty = ~cl_valid.any(axis=1)
+    bmin = np.where(empty[:, None], big, bmin).astype(np.float32)
+    bmax = np.where(empty[:, None], -big, bmax).astype(np.float32)
+
+    dev["cluster_a"] = jnp.asarray(ca.astype(np.float32))
+    dev["cluster_e0"] = jnp.asarray(ce0.astype(np.float32))
+    dev["cluster_e1"] = jnp.asarray(ce1.astype(np.float32))
+    dev["cluster_id"] = jnp.asarray(cl_ids)
+    dev["cluster_bmin"] = jnp.asarray(bmin)
+    dev["cluster_bmax"] = jnp.asarray(bmax)
     return dataclasses.replace(scene_data, bvh=dev)

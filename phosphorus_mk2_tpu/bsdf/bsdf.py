@@ -65,6 +65,36 @@ def apply_textures(scene, lobes: dict, mat_id: jnp.ndarray, st: jnp.ndarray) -> 
     return out
 
 
+def apply_fresnel(scene, lobes: dict, n: jnp.ndarray, wi: jnp.ndarray) -> dict:
+    """Per-hit fresnel lobe weighting (the reference Glass expansion's
+    fresnel + mix subgraph, plugins/blender/blender/shader.hpp:306-361,
+    and fresnel_node.osl semantics: eta inverted when backfacing).
+
+    lobe param[4]: 0 = none, 1 = weight by F, 2 = weight by 1-F;
+    param[5]: ior. No-op (compiled away) without fresnel lobes.
+    """
+    if not getattr(scene, "has_fresnel", False):
+        return lobes
+    from phosphorus_mk2_tpu.math.fresnel import dielectric
+
+    L = lobes.get("max_lobes", MAX_LOBES)
+    mode = lobes["param"][:, :L, 4]  # (N, L)
+    ior = lobes["param"][:, :L, 5]
+    cosi = dot(n, wi)[:, None]  # (N, 1)
+    F = dielectric(cosi, jnp.where(ior == 0.0, 1.5, ior))
+    factor = jnp.where(
+        mode == 1.0, F, jnp.where(mode == 2.0, 1.0 - F, 1.0)
+    )
+    out = dict(lobes)
+    w = lobes["weight"][:, :L] * factor[..., None]
+    out["weight"] = (
+        jnp.concatenate([w, lobes["weight"][:, L:]], axis=1)
+        if L < MAX_LOBES
+        else w
+    )
+    return out
+
+
 def emission_at(scene, mat_id: jnp.ndarray, st: jnp.ndarray) -> jnp.ndarray:
     """Per-hit emission, texture-modulated when the material has an
     emission texture."""

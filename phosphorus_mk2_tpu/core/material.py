@@ -59,7 +59,14 @@ LOBE_FLAGS = {
 
 MAX_LOBES = 4   # the reference allows 8 (src/bsdf.hpp:9); 4 covers its
                 # entire shader library and keeps the dense eval cheap
-NUM_PARAMS = 4  # per-lobe parameter slots
+NUM_PARAMS = 6  # per-lobe parameter slots; [4] = fresnel mode
+                # (0 none, 1 weight by F, 2 weight by 1-F), [5] = fresnel
+                # ior — realizes the reference Glass expansion's
+                # fresnel-driven closure mix per hit
+                # (plugins/blender/blender/shader.hpp:306-361)
+FRESNEL_NONE = 0.0
+FRESNEL_F = 1.0
+FRESNEL_ONE_MINUS_F = 2.0
 
 
 def roughness_to_alpha(roughness: float) -> float:
@@ -164,16 +171,28 @@ class Material:
     @staticmethod
     def glass(
         color=(1.0, 1.0, 1.0), ior: float = 1.45, roughness: float = 0.0,
-        name="glass",
+        name="glass", fresnel: bool = True,
     ):
-        """Two-lobe glass: glossy reflection + refraction, mirroring the
-        Blender-importer Glass expansion (reference
-        plugins/blender/blender/shader.hpp:306-361) but with static
-        weights instead of a fresnel shader node (textured fresnel mixing
-        lands with the texture system)."""
+        """Two-lobe glass: glossy reflection + refraction with the
+        reflection weighted by the per-hit dielectric fresnel and the
+        refraction by its complement — the Blender-importer Glass
+        expansion (reference plugins/blender/blender/shader.hpp:306-361:
+        glossy + refraction + fresnel + mix subgraph)."""
         g = Material.glossy(color, roughness).lobes[0]
         r = Material.refraction(color, ior, roughness).lobes[0]
+        if fresnel:
+            g = Lobe(g.type, g.weight, _with_fresnel(g, FRESNEL_F, ior), g.texture)
+            r = Lobe(
+                r.type, r.weight, _with_fresnel(r, FRESNEL_ONE_MINUS_F, ior), r.texture
+            )
         return Material(name=name, lobes=[g, r])
+
+
+def _with_fresnel(lobe: "Lobe", mode: float, ior: float) -> tuple:
+    p = lobe.padded_params()
+    p[4] = mode
+    p[5] = float(ior)
+    return tuple(p)
 
 
 def pack_materials(materials: list) -> dict:

@@ -89,6 +89,8 @@ class SceneData:
     max_lobes_used: int = 0
     # static: untextured scenes compile away all atlas sampling
     has_textures: bool = False
+    # static: scenes without fresnel-mixed lobes skip the per-hit fresnel
+    has_fresnel: bool = False
 
     STATIC_FIELDS = (
         "num_lights",
@@ -98,6 +100,7 @@ class SceneData:
         "lobe_types_present",
         "max_lobes_used",
         "has_textures",
+        "has_fresnel",
     )
 
     @property
@@ -280,6 +283,11 @@ class Scene:
                 (len(m.lobes) for m in self.materials), default=0
             ),
             has_textures=len(self.textures) > 0,
+            has_fresnel=any(
+                len(lobe.params) > 4 and lobe.params[4] != 0.0
+                for m in self.materials
+                for lobe in m.lobes
+            ),
         )
 
 

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 
 from phosphorus_mk2_tpu.accel.intersect import reintersect
 from phosphorus_mk2_tpu.bsdf.bsdf import (
+    apply_fresnel,
     apply_textures,
     bsdf_f,
     bsdf_sample,
@@ -65,16 +66,28 @@ from phosphorus_mk2_tpu.math.vec import (
 def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False, kind: str = "auto"):
     """Pick the traversal backend.
 
-    kind: "auto" (block traversal when a BVH is attached, brute
-    otherwise), "block" (shared-stack block traversal — the TPU
-    performance path), "per_ray" (vmapped per-ray stacks — oracle),
-    "brute" (dense all-pairs — oracle for tiny scenes).
+    kind: "auto" (cluster tracer when a BVH is attached and the scene is
+    big enough to beat brute force), "cluster" (sorted cluster
+    scheduling — the TPU performance path), "block" (shared-stack block
+    traversal), "per_ray" (vmapped per-ray stacks — oracle), "brute"
+    (dense all-pairs — oracle / small scenes).
     """
     has_bvh = use_bvh and scene.bvh is not None
     if kind == "auto":
-        kind = "block" if has_bvh else "brute"
-    if kind in ("block", "per_ray") and not has_bvh:
+        if has_bvh and scene.num_tris > 1024:
+            kind = "cluster"
+        else:
+            kind = "brute"
+    if kind in ("block", "per_ray", "cluster") and not has_bvh:
         raise ValueError(f"tracer kind {kind!r} requires an attached BVH")
+
+    if kind == "cluster":
+        from phosphorus_mk2_tpu.accel.cluster_traverse import (
+            intersect_clusters,
+            occluded_clusters,
+        )
+
+        return intersect_clusters, occluded_clusters
 
     if kind == "block":
         if use_pallas:
@@ -171,6 +184,7 @@ def trace_sample(
         }
 
         lobes = apply_textures(scene, gather_lobes(scene, mat), mat, sp["st"])
+        lobes = apply_fresnel(scene, lobes, hn, wo_view)
 
         # per-bounce randomness: two PCG4D evaluations cover light pick /
         # light tri / light uv / RR and bsdf lobe / bsdf uv

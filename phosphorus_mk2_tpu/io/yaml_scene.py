@@ -28,8 +28,11 @@ import numpy as np
 
 from phosphorus_mk2_tpu.core.camera import Camera
 from phosphorus_mk2_tpu.core.material import (
+    FRESNEL_F,
+    FRESNEL_ONE_MINUS_F,
     Lobe,
     Material,
+    _with_fresnel,
     MICROFACET,
     MICROFACET_REFRACT,
     OREN_NAYAR,
@@ -42,6 +45,13 @@ from phosphorus_mk2_tpu.core.material import (
     roughness_to_alpha,
 )
 from phosphorus_mk2_tpu.core.scene import Scene
+
+
+class FresnelRef:
+    """A per-hit fresnel factor value (fresnel_node output)."""
+
+    def __init__(self, ior: float):
+        self.ior = float(ior)
 
 
 class TextureRef:
@@ -142,6 +152,10 @@ def _eval_node(ntype: str, p: dict, load_texture=None):
         out = ClosureVal(emission=cs * power)
         out.emission_texture = _tex_of(p.get("Cs"))
         return out
+    if ntype in ("fresnel_node", "fresnel_dielectric_node"):
+        return FresnelRef(float(p.get("IoR", 1.5)))
+    if ntype == "blackbody_node":
+        return _blackbody(float(p.get("temperature", 6500.0)))
     if ntype == "texture_node":
         if load_texture is None:
             raise ValueError("texture_node without a texture loader")
@@ -160,7 +174,25 @@ def _eval_node(ntype: str, p: dict, load_texture=None):
     if ntype == "mix_closure_node":
         a = p.get("A") or ClosureVal()
         b = p.get("B") or ClosureVal()
-        fac = float(p.get("fac", 0.5))
+        fac = p.get("fac", 0.5)
+        if isinstance(fac, FresnelRef):
+            # per-hit fresnel mix (the reference Glass expansion,
+            # plugins/blender/blender/shader.hpp:306-361): A*(1-F) + B*F
+            out = ClosureVal(emission=a.emission + b.emission)
+            for lobe in a.lobes:
+                out.lobes.append(
+                    Lobe(lobe.type, lobe.weight,
+                         _with_fresnel(lobe, FRESNEL_ONE_MINUS_F, fac.ior),
+                         lobe.texture)
+                )
+            for lobe in b.lobes:
+                out.lobes.append(
+                    Lobe(lobe.type, lobe.weight,
+                         _with_fresnel(lobe, FRESNEL_F, fac.ior),
+                         lobe.texture)
+                )
+            return out
+        fac = float(fac)
         return a.scaled(1.0 - fac) + b.scaled(fac)
     if ntype == "mix_color_node":
         a = _color(p.get("A"), (0, 0, 0))
@@ -174,6 +206,24 @@ def _eval_node(ntype: str, p: dict, load_texture=None):
         c = _color(p.get("Cs"), (0, 0, 0))
         return float(0.212671 * c[0] + 0.715160 * c[1] + 0.072169 * c[2])
     raise ValueError(f"unsupported shader node type: {ntype}")
+
+
+def _blackbody(temp_k: float) -> np.ndarray:
+    """Approximate blackbody color (normalized), Planckian-locus fit."""
+    t = temp_k / 100.0
+    if t <= 66:
+        r = 255.0
+        g = np.clip(99.47 * np.log(max(t, 1e-3)) - 161.12, 0, 255)
+    else:
+        r = np.clip(329.7 * ((t - 60) ** -0.1332), 0, 255)
+        g = np.clip(288.12 * ((t - 60) ** -0.0755), 0, 255)
+    if t >= 66:
+        b = 255.0
+    elif t <= 19:
+        b = 0.0
+    else:
+        b = np.clip(138.52 * np.log(t - 10) - 305.04, 0, 255)
+    return np.array([r, g, b], np.float32) / 255.0
 
 
 def compile_material(name: str, spec: dict, load_texture=None) -> Material:

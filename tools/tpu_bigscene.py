@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from phosphorus_mk2_tpu.accel.block_traverse import intersect_blocks
+from phosphorus_mk2_tpu.accel.cluster_traverse import intersect_clusters
 from phosphorus_mk2_tpu.accel.bvh_builder import attach_bvh
 from phosphorus_mk2_tpu.accel.intersect import intersect_brute
 from phosphorus_mk2_tpu.accel.native_bvh import build_bvh_native
@@ -68,16 +69,15 @@ def main():
     d_inc = d_inc / jnp.linalg.norm(d_inc, axis=-1, keepdims=True)
 
     f_brute = jax.jit(lambda p, d: intersect_brute(data, p, d))
-    f_sorted = jax.jit(lambda p, d: sorted_trace(intersect_blocks, data, p, d, None))
+    f_cluster = jax.jit(lambda p, d: intersect_clusters(data, p, d))
 
+    timed("cluster coherent", f_cluster, p_coh, d_coh)
+    timed("cluster incoherent", f_cluster, p_inc, d_inc)
     timed("brute coherent", f_brute, p_coh, d_coh)
-    timed("block+sort coherent", f_sorted, p_coh, d_coh)
-    timed("brute incoherent", f_brute, p_inc, d_inc)
-    timed("block+sort incoherent", f_sorted, p_inc, d_inc)
 
     # sanity
     r1 = f_brute(p_coh, d_coh)
-    r2 = f_sorted(p_coh, d_coh)
+    r2 = f_cluster(p_coh, d_coh)
     agree = (np.asarray(r1["hit"]) == np.asarray(r2["hit"])).mean()
     print("agreement:", agree, flush=True)
 
