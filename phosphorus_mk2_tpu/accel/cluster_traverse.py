@@ -115,6 +115,11 @@ def _mt_rows(p, d, rows, best, live):
     )
 
 
+MAX_FRONT = 64  # per-ray front-to-back cluster table depth (top-k);
+                # rays overlapping more clusters finish in the exact
+                # argmin fallback loop
+
+
 def _trace(scene, p, d, t_limit, any_hit):
     bvh = scene.bvh
     rows_tbl = _cluster_rows(scene)
@@ -129,39 +134,136 @@ def _trace(scene, p, d, t_limit, any_hit):
     nrows = jnp.arange(n)
     karange = jnp.arange(K)[None, :]
 
+    # --- one-time front-to-back ordering: the k nearest overlapped
+    # clusters per ray (moves the per-wave (N, K) argmin out of the loop)
+    kk = min(MAX_FRONT, K)
+    tn_m0 = jnp.where(pending0, tn_tbl, T_MAX)
+    neg_top, ctbl = jax.lax.top_k(-tn_m0, kk)  # (N, kk)
+    ttbl = -neg_top
+    kth_tn = ttbl[:, -1]  # per-ray distance horizon covered by the table
+
+    # --- straggler compaction: overlap counts are known up front, so
+    # sort rays by descending work; wave w only touches the prefix of
+    # rays with > w overlapped clusters, processed in fixed chunks with
+    # a dynamic trip count. Dead lanes never reach the MT kernel.
+    overlap = pending0.sum(axis=1)  # (N,)
+    order = jnp.argsort(-overlap)
+    inv = jnp.argsort(order)
+    sp_p = pp[order]
+    sp_d = dd[order]
+    s_ctbl = ctbl[order]
+    s_ttbl = ttbl[order]
+    s_limit = t_limit[order]
+    # rays alive at wave w (sorted prefix length), (kk,)
+    alive_at = (overlap[None, :] > jnp.arange(kk)[:, None]).sum(axis=1)
+
+    CH = min(8192, n)
+    n_chunks_cap = (n + CH - 1) // CH
+
+    state0 = (
+        s_limit,
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,)),
+        jnp.zeros((n,)),
+    )
+
+    def wave_cond(carry):
+        w, go = carry[0], carry[1]
+        return go & (w < kk)
+
+    def wave_body(carry):
+        w, _, best = carry
+        a_w = jax.lax.dynamic_index_in_dim(alive_at, w, keepdims=False)
+
+        def chunk(ci, best):
+            sbt, sbtri, sbu, sbv = best
+            start = jnp.minimum(ci * CH, n - CH)
+
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(x, start, CH)
+
+            def sl2(x):
+                return jax.lax.dynamic_slice(
+                    x, (start, w), (CH, 1)
+                )[:, 0]
+
+            c = sl2(s_ctbl)
+            tn_c = sl2(s_ttbl)
+            cur = (sl(sbt), sl(sbtri), sl(sbu), sl(sbv))
+            live = (tn_c < cur[0]) & (tn_c < T_MAX)
+            if any_hit:
+                live = live & (cur[1] < 0)
+            rows = rows_tbl[jnp.where(live, c, 0)]  # (CH, 10, C)
+            new = _mt_rows(
+                jnp.stack([sl(sp_p[:, 0]), sl(sp_p[:, 1]), sl(sp_p[:, 2])], 1),
+                jnp.stack([sl(sp_d[:, 0]), sl(sp_d[:, 1]), sl(sp_d[:, 2])], 1),
+                rows,
+                cur,
+                live,
+            )
+            return tuple(
+                jax.lax.dynamic_update_slice_in_dim(full, nv, start, 0)
+                for full, nv in zip(best, new)
+            )
+
+        n_ch = jnp.minimum((a_w + CH - 1) // CH, n_chunks_cap)
+        best = jax.lax.fori_loop(0, n_ch, chunk, best)
+        w = w + 1
+        go = w < kk
+        go = go & (jax.lax.dynamic_index_in_dim(
+            alive_at, jnp.minimum(w, kk - 1), keepdims=False
+        ) > 0)
+        return w, go, best
+
+    _, _, state = jax.lax.while_loop(
+        wave_cond, wave_body, (jnp.int32(0), pending0.any(), state0)
+    )
+    best_t = state[0][inv]
+    best_tri = state[1][inv]
+    best_u = state[2][inv]
+    best_v = state[3][inv]
+
+    # --- exact fallback for rays whose overlap exceeded the table:
+    # clusters at or beyond the per-ray horizon, still closer than the
+    # current best (ties re-test a cluster — harmless min-updates)
+    pending = (
+        pending0
+        & (tn_tbl >= kth_tn[:, None])
+        & (tn_tbl < best_t[:, None])
+        & (kth_tn < T_MAX)[:, None]
+    )
+    if any_hit:
+        pending = pending & (best_tri < 0)[:, None]
+
     def cond(carry):
         return carry[0]
 
     def body(carry):
         _, pending, best_t, best_tri, best_u, best_v = carry
-
         active = pending & (tn_tbl < best_t[:, None])
         if any_hit:
             active = active & (best_tri < 0)[:, None]
         tn_m = jnp.where(active, tn_tbl, T_MAX)
-        c = jnp.argmin(tn_m, axis=1)           # (N,) nearest pending cluster
+        c = jnp.argmin(tn_m, axis=1)
         live = active[nrows, c]
-
-        rows = rows_tbl[jnp.where(live, c, 0)]  # (N, 10, C) row-gather
+        rows = rows_tbl[jnp.where(live, c, 0)]
         best = _mt_rows(
             pp, dd, rows, (best_t, best_tri, best_u, best_v), live
         )
         best_t, best_tri, best_u, best_v = best
-
         pending = pending & ~((karange == c[:, None]) & live[:, None])
-
         more = pending & (tn_tbl < best_t[:, None])
         if any_hit:
             more = more & (best_tri < 0)[:, None]
         return more.any(), pending, best_t, best_tri, best_u, best_v
 
     carry0 = (
-        pending0.any(),
-        pending0,
-        t_limit,
-        jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n,)),
-        jnp.zeros((n,)),
+        pending.any(),
+        pending,
+        best_t,
+        best_tri,
+        best_u,
+        best_v,
     )
     _, _, t, tri, u, v = jax.lax.while_loop(cond, body, carry0)
     return t, tri, u, v

@@ -132,3 +132,37 @@ class InverseRenderer:
 
     def current_scene(self):
         return dataclasses.replace(self.data, **self.params)
+
+    # --- checkpoint / resume (no reference counterpart; SURVEY §5.4) --
+
+    def save_checkpoint(self, path: str) -> None:
+        """Write params + optimizer state + step counter (npz)."""
+        flat_params = {
+            f"param_{k}": np.asarray(v) for k, v in self.params.items()
+        }
+        leaves, treedef = jax.tree_util.tree_flatten(self.opt_state)
+        flat_opt = {f"opt_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+        tmp = path + ".tmp.npz"
+        np.savez(
+            tmp[:-4],
+            step=self._step_count,
+            key=jax.random.key_data(self.key),
+            **flat_params,
+            **flat_opt,
+        )
+        import os
+
+        os.replace(tmp, path)
+
+    def load_checkpoint(self, path: str) -> None:
+        ck = np.load(path)
+        self.params = {
+            k: jnp.asarray(ck[f"param_{k}"]) for k in self.params
+        }
+        leaves, treedef = jax.tree_util.tree_flatten(self.opt_state)
+        new_leaves = [
+            jnp.asarray(ck[f"opt_{i}"]) for i in range(len(leaves))
+        ]
+        self.opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        self._step_count = int(ck["step"])
+        self.key = jax.random.wrap_key_data(ck["key"])

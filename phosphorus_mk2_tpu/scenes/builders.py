@@ -155,8 +155,17 @@ def cornell_box(width=256, height=256) -> Scene:
         for q in quads:
             faces.append([q[0], q[1], q[2]])
             faces.append([q[0], q[2], q[3]])
+        faces = np.array(faces, np.int32)
+        # orient every face outward (flat-shaded geometric normals drive
+        # the lighting; inward normals would kill NEE like the reference,
+        # which never flips backfacing normals — mesh.cpp:209-215)
+        ctr = np.array(center, np.float32)
+        for i, (a, b, c) in enumerate(faces):
+            n = np.cross(v[b] - v[a], v[c] - v[a])
+            if np.dot(n, (v[a] + v[b] + v[c]) / 3.0 - ctr) < 0:
+                faces[i] = [a, c, b]
         scene.add_mesh(
-            Mesh(vertices=v, faces=np.array(faces, np.int32), material=mat, smooth=False)
+            Mesh(vertices=v, faces=faces, material=mat, smooth=False)
         )
 
     add_box((-0.33, -0.4, -0.3), (0.28, 0.6, 0.28), np.deg2rad(18), mats["white"])
