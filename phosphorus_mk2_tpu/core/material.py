@@ -113,6 +113,7 @@ class Material:
     lobes: list = dataclasses.field(default_factory=list)
     emission: tuple = (0.0, 0.0, 0.0)
     emission_texture: int = -1  # modulates emission (env maps, lit panels)
+    normal_texture: int = -1    # tangent-space normal map
 
     @property
     def is_emitter(self) -> bool:
@@ -209,6 +210,7 @@ def pack_materials(materials: list) -> dict:
     n_lobes = np.zeros((m,), np.int32)
     emission = np.zeros((m, 3), np.float32)
     emission_tex = np.full((m,), -1, np.int32)
+    normal_tex = np.full((m,), -1, np.int32)
     for i, mat in enumerate(materials):
         if len(mat.lobes) > MAX_LOBES:
             raise ValueError(
@@ -217,6 +219,7 @@ def pack_materials(materials: list) -> dict:
         n_lobes[i] = len(mat.lobes)
         emission[i] = mat.emission
         emission_tex[i] = mat.emission_texture
+        normal_tex[i] = mat.normal_texture
         for j, lobe in enumerate(mat.lobes):
             lobe_type[i, j] = lobe.type
             lobe_weight[i, j] = lobe.weight
@@ -232,4 +235,5 @@ def pack_materials(materials: list) -> dict:
         "n_lobes": n_lobes,
         "emission": emission,
         "emission_tex": emission_tex,
+        "normal_tex": normal_tex,
     }

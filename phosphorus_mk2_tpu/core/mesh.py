@@ -19,6 +19,7 @@ class Mesh:
                                            # or (F,) per-face array of ids
     normals: np.ndarray | None = None      # (V, 3) per-vertex
     uvs: np.ndarray | None = None          # (V, 2) per-vertex
+    tangents: np.ndarray | None = None     # (V, 3) per-vertex (normal maps)
     smooth: object = True                  # bool or (F,) bool
     name: str = ""
 
@@ -29,6 +30,8 @@ class Mesh:
             self.normals = np.ascontiguousarray(self.normals, np.float32)
         if self.uvs is not None:
             self.uvs = np.ascontiguousarray(self.uvs, np.float32)
+        if self.tangents is not None:
+            self.tangents = np.ascontiguousarray(self.tangents, np.float32)
 
     @property
     def num_faces(self) -> int:
@@ -52,3 +55,28 @@ class Mesh:
             np.add.at(n, self.faces[:, k], fn)
         norm = np.linalg.norm(n, axis=-1, keepdims=True)
         return (n / np.maximum(norm, 1e-20)).astype(np.float32)
+
+    def compute_tangents(self) -> np.ndarray:
+        """Per-vertex tangents from uv gradients (the reference gets
+        these from MikkTSpace via Blender, plugins/blender/import.hpp:
+        115-134; uv-gradient tangents are the standalone equivalent)."""
+        if self.uvs is None:
+            raise ValueError("tangents need uvs")
+        t = np.zeros_like(self.vertices)
+        v0 = self.vertices[self.faces[:, 0]]
+        v1 = self.vertices[self.faces[:, 1]]
+        v2 = self.vertices[self.faces[:, 2]]
+        uv0 = self.uvs[self.faces[:, 0]]
+        uv1 = self.uvs[self.faces[:, 1]]
+        uv2 = self.uvs[self.faces[:, 2]]
+        e1 = v1 - v0
+        e2 = v2 - v0
+        du1 = uv1 - uv0
+        du2 = uv2 - uv0
+        det = du1[:, 0] * du2[:, 1] - du2[:, 0] * du1[:, 1]
+        r = np.where(np.abs(det) < 1e-12, 0.0, 1.0 / np.where(det == 0, 1, det))
+        tan = (e1 * du2[:, 1:2] - e2 * du1[:, 1:2]) * r[:, None]
+        for k in range(3):
+            np.add.at(t, self.faces[:, k], tan)
+        norm = np.linalg.norm(t, axis=-1, keepdims=True)
+        return (t / np.maximum(norm, 1e-20)).astype(np.float32)

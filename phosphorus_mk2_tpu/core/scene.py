@@ -73,6 +73,8 @@ class SceneData:
     tex_info: jnp.ndarray = None    # (K, 4) i32 (y0, x0, h, w)
     lobe_tex: jnp.ndarray = None    # (M, L) i32, -1 = untextured
     emission_tex: jnp.ndarray = None  # (M,) i32
+    normal_tex: jnp.ndarray = None    # (M,) i32 tangent-space normal maps
+    tangents: jnp.ndarray = None      # (V, 3) f32 (zeros if none)
     # acceleration structure (None = brute force oracle)
     bvh: dict | None = None
     # static metadata
@@ -91,6 +93,8 @@ class SceneData:
     has_textures: bool = False
     # static: scenes without fresnel-mixed lobes skip the per-hit fresnel
     has_fresnel: bool = False
+    # static: normal mapping only compiled in when used
+    has_normal_maps: bool = False
 
     STATIC_FIELDS = (
         "num_lights",
@@ -101,6 +105,7 @@ class SceneData:
         "max_lobes_used",
         "has_textures",
         "has_fresnel",
+        "has_normal_maps",
     )
 
     @property
@@ -179,6 +184,7 @@ class Scene:
             raise ValueError("scene has no meshes")
 
         verts, faces, normals, uvs, smooth = [], [], [], [], []
+        tangents = []
         tri_mat, tri_mesh = [], []
         v_off = 0
         for mi, mesh in enumerate(self.meshes):
@@ -188,6 +194,11 @@ class Scene:
             if n is None:
                 n = mesh.compute_vertex_normals()
             normals.append(n)
+            tangents.append(
+                mesh.tangents
+                if mesh.tangents is not None
+                else np.zeros((mesh.vertices.shape[0], 3), np.float32)
+            )
             uvs.append(
                 mesh.uvs
                 if mesh.uvs is not None
@@ -271,6 +282,8 @@ class Scene:
             tex_info=jnp.asarray(atlas["info"]),
             lobe_tex=jnp.asarray(mats["lobe_tex"]),
             emission_tex=jnp.asarray(mats["emission_tex"]),
+            normal_tex=jnp.asarray(mats["normal_tex"]),
+            tangents=jnp.asarray(np.concatenate(tangents)),
             bvh=None,
             num_lights=num_lights,
             env_mat=-1 if self.environment is None else int(self.environment),
@@ -283,6 +296,9 @@ class Scene:
                 (len(m.lobes) for m in self.materials), default=0
             ),
             has_textures=len(self.textures) > 0,
+            has_normal_maps=any(
+                m.normal_texture >= 0 for m in self.materials
+            ),
             has_fresnel=any(
                 len(lobe.params) > 4 and lobe.params[4] != 0.0
                 for m in self.materials

@@ -46,4 +46,37 @@ def shading_parameters(scene, tri: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     uv2 = scene.uvs[f[..., 2]]
     st = w[..., None] * uv0 + u[..., None] * uv1 + v[..., None] * uv2
 
-    return {"p": p, "n": n, "ng": n_geom, "st": st}
+    out = {"p": p, "n": n, "ng": n_geom, "st": st}
+    if getattr(scene, "has_normal_maps", False):
+        t0 = scene.tangents[f[..., 0]]
+        t1 = scene.tangents[f[..., 1]]
+        t2 = scene.tangents[f[..., 2]]
+        out["tangent"] = normalize(
+            w[..., None] * t0 + u[..., None] * t1 + v[..., None] * t2
+        )
+    return out
+
+
+def apply_normal_map(scene, sp: dict, mat: jnp.ndarray) -> dict:
+    """Perturb the shading normal by a tangent-space normal map
+    (reference normal_map_node.osl + the geom:tangent attribute path,
+    src/material.cpp:67-84). No-op without normal maps (static)."""
+    if not getattr(scene, "has_normal_maps", False):
+        return sp
+    from phosphorus_mk2_tpu.core.texture import sample_texture
+    from phosphorus_mk2_tpu.math.vec import cross as _cross
+
+    tid = scene.normal_tex[mat]
+    rgb = sample_texture(scene.tex_atlas, scene.tex_info, tid, sp["st"])
+    tsn = rgb * 2.0 - 1.0
+    n = sp["n"]
+    t = sp.get("tangent")
+    if t is None:
+        return sp
+    b = normalize(_cross(n, t))
+    n_new = normalize(
+        tsn[..., 0:1] * t + tsn[..., 1:2] * b + tsn[..., 2:3] * n
+    )
+    out = dict(sp)
+    out["n"] = jnp.where((tid >= 0)[..., None], n_new, n)
+    return out

@@ -51,7 +51,7 @@ from phosphorus_mk2_tpu.bsdf.bsdf import (
 )
 from phosphorus_mk2_tpu.core.camera import camera_to_params, generate_rays
 from phosphorus_mk2_tpu.core.lights import sample_lights
-from phosphorus_mk2_tpu.core.shading import shading_parameters
+from phosphorus_mk2_tpu.core.shading import apply_normal_map, shading_parameters
 from phosphorus_mk2_tpu.math import rng
 from phosphorus_mk2_tpu.math.vec import (
     RAY_EPSILON,
@@ -162,9 +162,10 @@ def trace_sample(
         u = jnp.where(hit, u, 0.0)
         v = jnp.where(hit, v, 0.0)
         sp = shading_parameters(scene, tri, u, v)
-        hp, hn = sp["p"], sp["n"]
         wo_view = -d  # toward the previous vertex (reference flips wi)
         mat = jnp.where(hit, scene.tri_mat[jnp.maximum(tri, 0)], 0)
+        sp = apply_normal_map(scene, sp, mat)
+        hp, hn = sp["p"], sp["n"]
 
         e_hit = emission_at(scene, mat, sp["st"])
 

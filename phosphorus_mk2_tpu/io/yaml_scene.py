@@ -82,9 +82,18 @@ class ClosureVal:
         return out
 
     def __add__(self, other):
-        return ClosureVal(
+        out = ClosureVal(
             self.lobes + other.lobes, self.emission + other.emission
         )
+        out.normal_texture = max(
+            getattr(self, "normal_texture", -1),
+            getattr(other, "normal_texture", -1),
+        )
+        out.emission_texture = max(
+            getattr(self, "emission_texture", -1),
+            getattr(other, "emission_texture", -1),
+        )
+        return out
 
 
 def _lum_or_scalar(f):
@@ -104,6 +113,13 @@ def _tex_of(v) -> int:
     return v.tid if isinstance(v, TextureRef) else -1
 
 
+def _attach_normal(out, p):
+    sn = p.get("shadingNormal")
+    if isinstance(sn, TextureRef):
+        out.normal_texture = sn.tid
+    return out
+
+
 def _eval_node(ntype: str, p: dict, load_texture=None):
     """Evaluate one shader node to its output value."""
     if ntype == "diffuse_bsdf_node":
@@ -111,19 +127,24 @@ def _eval_node(ntype: str, p: dict, load_texture=None):
         tex = _tex_of(p.get("Cs"))
         rough = float(p.get("roughness", 0.0))
         if rough == 0.0:
-            return ClosureVal([Lobe(DIFFUSE, tuple(cs), texture=tex)])
+            return _attach_normal(ClosureVal([Lobe(DIFFUSE, tuple(cs), texture=tex)]), p)
         a, b = oren_nayar_ab(rough)
-        return ClosureVal([Lobe(OREN_NAYAR, tuple(cs), (rough, a, b), texture=tex)])
+        return _attach_normal(
+            ClosureVal([Lobe(OREN_NAYAR, tuple(cs), (rough, a, b), texture=tex)]), p
+        )
     if ntype == "glossy_bsdf_node":
         cs = _color(p.get("Cs"), (1, 1, 1))
         rough = float(p.get("roughness", 0.0))
         dist = p.get("distribution", "ggx")
         tex = _tex_of(p.get("Cs"))
         if dist == "sharp" or rough == 0.0:
-            return ClosureVal([Lobe(REFLECTION, tuple(cs), (0.0,), texture=tex)])
+            return _attach_normal(
+                ClosureVal([Lobe(REFLECTION, tuple(cs), (0.0,), texture=tex)]), p
+            )
         alpha = roughness_to_alpha(rough * rough)
-        return ClosureVal(
-            [Lobe(MICROFACET, tuple(cs), (alpha, alpha, 0.0), texture=tex)]
+        return _attach_normal(
+            ClosureVal([Lobe(MICROFACET, tuple(cs), (alpha, alpha, 0.0), texture=tex)]),
+            p,
         )
     if ntype == "refraction_bsdf_node":
         cs = _color(p.get("Cs"), (1, 1, 1))
@@ -152,6 +173,11 @@ def _eval_node(ntype: str, p: dict, load_texture=None):
         out = ClosureVal(emission=cs * power)
         out.emission_texture = _tex_of(p.get("Cs"))
         return out
+    if ntype == "normal_map_node":
+        # pass the map texture through; consuming BSDF nodes attach it as
+        # the material's normal map (reference normal_map_node.osl)
+        v = p.get("Color")
+        return v if isinstance(v, TextureRef) else None
     if ntype in ("fresnel_node", "fresnel_dielectric_node"):
         return FresnelRef(float(p.get("IoR", 1.5)))
     if ntype == "blackbody_node":
@@ -166,7 +192,8 @@ def _eval_node(ntype: str, p: dict, load_texture=None):
         return TextureRef(load_texture(p.get("filename", "")))
     if ntype == "material_node":
         v = p.get("Cs")
-        return v if isinstance(v, ClosureVal) else ClosureVal()
+        return v if isinstance(v, ClosureVal) else ClosureVal()  # carries
+        # normal/emission texture attributes with it
     if ntype == "add_node":
         a = p.get("A") or ClosureVal()
         b = p.get("B") or ClosureVal()
@@ -281,6 +308,7 @@ def compile_material(name: str, spec: dict, load_texture=None) -> Material:
         lobes=root.lobes,
         emission=tuple(root.emission.tolist()),
         emission_texture=getattr(root, "emission_texture", -1),
+        normal_texture=getattr(root, "normal_texture", -1),
     )
 
 
