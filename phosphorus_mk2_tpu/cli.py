@@ -110,7 +110,17 @@ def main(argv=None) -> int:
               f"{jax.devices()[0].platform}")
 
     t0 = time.time()
-    film = renderer.render()
+    if args.progressive and args.png:
+        # stream tonemapped previews per pass (the reference's
+        # progressive flag is parsed but unused, src/options.hpp:18-20 —
+        # here it works)
+        film = None
+        for film, done in renderer.passes():
+            write_png(args.png, film["color"])
+            if args.verbose:
+                print(f"  progressive preview: {done} spp -> {args.png}")
+    else:
+        film = renderer.render()
     dt = time.time() - t0
     rays = (
         scene.camera.width * scene.camera.height * args.samples * args.depth * 2

@@ -129,22 +129,30 @@ def trace_sample(
     *,
     max_depth: int,
     tracer,
+    film_strata: int = 1,
 ):
     """Trace one sample per pixel for a wavefront. Returns (radiance (N,3),
-    first-hit normal (N,3), first-hit alpha (N,))."""
+    first-hit normal (N,3), first-hit alpha (N,)).
+
+    film_strata: stratify the film jitter on a d x d grid cycled by
+    sample index (the reference stratifies its pixel samples over spp,
+    src/sampling.cpp:98-112 — but shares one pattern across all pixels;
+    we stratify per pixel, identical expectation, lower variance)."""
     n = pixel_x.shape[0]
     closest, occluded = tracer
 
-    # NOTE (documented deviation): the reference shares one stratified film
-    # jitter across all pixels of a sample index (src/sampling.cpp:98-112);
-    # we use per-pixel decorrelated jitter — identical expectation, less
-    # structured noise.
     seed32 = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.uint32)
     pix = (pixel_y.astype(jnp.uint32) << jnp.uint32(16)) | pixel_x.astype(
         jnp.uint32
     )
     u_cam = rng.pixel_uniforms4(seed32, pix, sample_idx, 0, 0)
     film_u, lens_u = u_cam[:, 0:2], u_cam[:, 2:4]
+    if film_strata > 1:
+        d = film_strata
+        cell = jnp.asarray(sample_idx, jnp.int32) % (d * d)
+        sx = (cell % d).astype(jnp.float32)
+        sy = (cell // d).astype(jnp.float32)
+        film_u = (jnp.stack([sx, sy], -1)[None, :] + film_u) / d
 
     p0, d0 = generate_rays(cam_params, pixel_x, pixel_y, film_u, lens_u)
 
@@ -275,6 +283,7 @@ def render_pass_pixels(
     *,
     max_depth: int,
     tracer,
+    film_strata: int = 1,
 ):
     """Accumulate ``n_samples`` samples for an arbitrary pixel wavefront.
 
@@ -298,6 +307,7 @@ def render_pass_pixels(
             key,
             max_depth=max_depth,
             tracer=tracer,
+            film_strata=film_strata,
         )
         return (c_sum + r, n_sum + nrm, a_sum + alpha), None
 
@@ -321,6 +331,7 @@ def render_pass(
     height: int,
     max_depth: int,
     tracer,
+    film_strata: int = 1,
 ):
     """Accumulate ``n_samples`` samples for the full frame. Jittable."""
     n = width * height
@@ -337,6 +348,7 @@ def render_pass(
         py,
         max_depth=max_depth,
         tracer=tracer,
+        film_strata=film_strata,
     )
 
 
@@ -363,6 +375,9 @@ def render_aovs(
     tracer = make_tracer(scene, options.use_bvh, options.use_pallas)
 
     per_pass = max(1, min(options.samples_per_pass, spp))
+    import math
+
+    strata = max(1, round(math.sqrt(spp)))
     jitted = jax.jit(
         functools.partial(
             render_pass,
@@ -370,6 +385,7 @@ def render_aovs(
             height=h,
             max_depth=max_depth,
             tracer=tracer,
+            film_strata=strata,
         ),
         static_argnames=("n_samples",),
     )

@@ -71,6 +71,7 @@ def make_sharded_render(
     use_bvh: bool = True,
     use_pallas: bool = False,
     donate: bool = False,
+    film_strata: int = 1,
 ):
     """Build a jitted SPMD render-pass function.
 
@@ -100,6 +101,7 @@ def make_sharded_render(
             py,
             max_depth=max_depth,
             tracer=tracer,
+            film_strata=film_strata,
         )
 
     return fn, px, py, n_valid

@@ -39,6 +39,8 @@ class Renderer:
         if self.options.use_bvh:
             self.data = attach_bvh(self.data)
         self.mesh = make_wave_mesh(n_devices)
+        import math
+
         self.fn, self.px, self.py, self.n_valid = make_sharded_render(
             self.mesh,
             self.data,
@@ -46,6 +48,7 @@ class Renderer:
             max_depth=self.options.path_depth,
             use_bvh=self.options.use_bvh,
             use_pallas=self.options.use_pallas,
+            film_strata=max(1, round(math.sqrt(self.options.samples_per_pixel))),
         )
         self.key = jax.random.key(self.options.seed)
 
