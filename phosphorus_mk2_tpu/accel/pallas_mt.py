@@ -140,8 +140,10 @@ def intersect_pallas_brute(scene, p, d, tmax=None, interpret: bool = False):
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
+            # full triangle table resident in VMEM (small scenes / leaf
+            # batches; ~40 B/tri so 100k tris ~ 4 MB still fits)
             pl.BlockSpec(
-                (10, rows.shape[1]), lambda i: (0, 0), memory_space=pl.ANY
+                (10, rows.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((RAY_TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((RAY_TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
