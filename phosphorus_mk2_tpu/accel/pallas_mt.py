@@ -81,13 +81,26 @@ def _mt_kernel(tri_ref, p_ref, d_ref, t_ref, tri_id_ref, u_ref, v_ref, *, n_tri_
             & (t < best_t)
             & (ids >= 0.0)
         )
+        # reduction-based argmin extraction (Mosaic has no
+        # take_along_axis/gather lowering inside kernels): min-t, then a
+        # unique one-hot via the lowest matching column index
         t_m = jnp.where(ok, t, T_MAX)
-        jbest = jnp.argmin(t_m, axis=1, keepdims=True)  # (R, 1)
-        t_new = jnp.take_along_axis(t_m, jbest, axis=1)
+        t_new = jnp.min(t_m, axis=1, keepdims=True)       # (R, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
+        sel = (t_m == t_new) & ok
+        jsel = jnp.min(jnp.where(sel, col, jnp.int32(2**30)), axis=1, keepdims=True)
+        pick = (col == jsel) & sel                        # unique one-hot
+        pickf = pick.astype(jnp.float32)
         better = t_new < best_t
-        best_tri = jnp.where(better, jnp.take_along_axis(ids, jbest, axis=1), best_tri)
-        best_u = jnp.where(better, jnp.take_along_axis(u, jbest, axis=1), best_u)
-        best_v = jnp.where(better, jnp.take_along_axis(v, jbest, axis=1), best_v)
+        best_tri = jnp.where(
+            better, jnp.sum(ids * pickf, axis=1, keepdims=True), best_tri
+        )
+        best_u = jnp.where(
+            better, jnp.sum(u * pickf, axis=1, keepdims=True), best_u
+        )
+        best_v = jnp.where(
+            better, jnp.sum(v * pickf, axis=1, keepdims=True), best_v
+        )
         best_t = jnp.where(better, t_new, best_t)
         return best_t, best_tri, best_u, best_v
 

@@ -46,14 +46,13 @@ def apply_textures(scene, lobes: dict, mat_id: jnp.ndarray, st: jnp.ndarray) -> 
     away) for untextured scenes."""
     if not getattr(scene, "has_textures", False):
         return lobes
-    from phosphorus_mk2_tpu.core.texture import sample_texture
 
     L = lobes.get("max_lobes", MAX_LOBES)
     tex = scene.lobe_tex[mat_id][:, :L]  # (N, L)
     n = mat_id.shape[0]
     flat_tex = tex.reshape(-1)
     flat_st = jnp.broadcast_to(st[:, None, :], (n, L, 2)).reshape(-1, 2)
-    factor = sample_texture(scene.tex_atlas, scene.tex_info, flat_tex, flat_st)
+    factor = _sample_any(scene, flat_tex, flat_st)
     factor = factor.reshape(n, L, 3)
     weight = jnp.where(
         (tex >= 0)[..., None], lobes["weight"][:, :L] * factor, lobes["weight"][:, :L]
@@ -95,16 +94,33 @@ def apply_fresnel(scene, lobes: dict, n: jnp.ndarray, wi: jnp.ndarray) -> dict:
     return out
 
 
+def _sample_any(scene, tex_id, uv):
+    """Texture sample honoring procedural textures when present (static)."""
+    from phosphorus_mk2_tpu.core.texture import sample_texture, sample_texture_any
+
+    if getattr(scene, "has_procedural", False):
+        return sample_texture_any(
+            {
+                "atlas": scene.tex_atlas,
+                "info": scene.tex_info,
+                "proc": scene.tex_proc,
+                "proc_params": scene.tex_proc_params,
+            },
+            tex_id,
+            uv,
+        )
+    return sample_texture(scene.tex_atlas, scene.tex_info, tex_id, uv)
+
+
 def emission_at(scene, mat_id: jnp.ndarray, st: jnp.ndarray) -> jnp.ndarray:
     """Per-hit emission, texture-modulated when the material has an
     emission texture."""
     e = scene.emission[mat_id]
     if not getattr(scene, "has_textures", False):
         return e
-    from phosphorus_mk2_tpu.core.texture import sample_texture
 
     t = scene.emission_tex[mat_id]
-    f = sample_texture(scene.tex_atlas, scene.tex_info, t, st)
+    f = _sample_any(scene, t, st)
     return jnp.where((t >= 0)[..., None], e * f, e)
 
 
@@ -116,16 +132,11 @@ def env_emission_at(scene, d: jnp.ndarray) -> jnp.ndarray:
     e = jnp.broadcast_to(scene.emission[scene.env_mat], (d.shape[0], 3))
     if not getattr(scene, "has_textures", False):
         return e
-    from phosphorus_mk2_tpu.core.texture import (
-        direction_to_latlong_uv,
-        sample_texture,
-    )
+    from phosphorus_mk2_tpu.core.texture import direction_to_latlong_uv
 
     t = scene.emission_tex[scene.env_mat]
     uv = direction_to_latlong_uv(d)
-    f = sample_texture(
-        scene.tex_atlas, scene.tex_info, jnp.full(d.shape[:1], t, jnp.int32), uv
-    )
+    f = _sample_any(scene, jnp.full(d.shape[:1], t, jnp.int32), uv)
     return jnp.where(t >= 0, e * f, e)
 
 

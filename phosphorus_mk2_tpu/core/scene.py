@@ -75,6 +75,8 @@ class SceneData:
     emission_tex: jnp.ndarray = None  # (M,) i32
     normal_tex: jnp.ndarray = None    # (M,) i32 tangent-space normal maps
     tangents: jnp.ndarray = None      # (V, 3) f32 (zeros if none)
+    tex_proc: jnp.ndarray = None      # (K,) i32 procedural type per texture
+    tex_proc_params: jnp.ndarray = None  # (K, 4) f32
     # acceleration structure (None = brute force oracle)
     bvh: dict | None = None
     # static metadata
@@ -95,6 +97,8 @@ class SceneData:
     has_fresnel: bool = False
     # static: normal mapping only compiled in when used
     has_normal_maps: bool = False
+    # static: procedural (noise) textures only compiled in when used
+    has_procedural: bool = False
 
     STATIC_FIELDS = (
         "num_lights",
@@ -106,6 +110,7 @@ class SceneData:
         "has_textures",
         "has_fresnel",
         "has_normal_maps",
+        "has_procedural",
     )
 
     @property
@@ -284,6 +289,8 @@ class Scene:
             emission_tex=jnp.asarray(mats["emission_tex"]),
             normal_tex=jnp.asarray(mats["normal_tex"]),
             tangents=jnp.asarray(np.concatenate(tangents)),
+            tex_proc=jnp.asarray(atlas["proc"]),
+            tex_proc_params=jnp.asarray(atlas["proc_params"]),
             bvh=None,
             num_lights=num_lights,
             env_mat=-1 if self.environment is None else int(self.environment),
@@ -298,6 +305,9 @@ class Scene:
             has_textures=len(self.textures) > 0,
             has_normal_maps=any(
                 m.normal_texture >= 0 for m in self.materials
+            ),
+            has_procedural=any(
+                getattr(t, "procedural", 0) != 0 for t in self.textures
             ),
             has_fresnel=any(
                 len(lobe.params) > 4 and lobe.params[4] != 0.0

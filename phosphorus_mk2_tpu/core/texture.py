@@ -17,20 +17,49 @@ import jax.numpy as jnp
 import numpy as np
 
 
+PROC_IMAGE = 0
+PROC_RANDOM = 1    # value noise (reference random_noise_*_node.osl)
+PROC_MUSGRAVE = 2  # fractal noise (reference musgrave_noise_3d_node.osl)
+
+
 @dataclasses.dataclass
 class Texture:
-    """Host-side image, float32 (H, W, 3) scene-linear."""
+    """Host-side image, float32 (H, W, 3) scene-linear — or a procedural
+    descriptor (the reference's OSL noise nodes become closed-form
+    jnp evaluations at the hit uv)."""
 
-    image: np.ndarray
+    image: np.ndarray = None
     name: str = ""
+    procedural: int = PROC_IMAGE
+    # procedural params: [scale, octaves, lacunarity, gain]
+    proc_params: tuple = (8.0, 4.0, 2.0, 0.5)
 
     def __post_init__(self):
+        if self.procedural != PROC_IMAGE:
+            if self.image is None:
+                self.image = np.zeros((1, 1, 3), np.float32)
+            return
         img = np.asarray(self.image, np.float32)
         if img.ndim == 2:
             img = img[..., None].repeat(3, axis=-1)
         if img.shape[-1] == 4:
             img = img[..., :3]
         self.image = np.ascontiguousarray(img)
+
+    @staticmethod
+    def random_noise(scale: float = 8.0, name="random"):
+        return Texture(procedural=PROC_RANDOM, proc_params=(scale, 0, 0, 0), name=name)
+
+    @staticmethod
+    def musgrave(
+        scale: float = 4.0, octaves: int = 4, lacunarity: float = 2.0,
+        gain: float = 0.5, name="musgrave",
+    ):
+        return Texture(
+            procedural=PROC_MUSGRAVE,
+            proc_params=(scale, float(octaves), lacunarity, gain),
+            name=name,
+        )
 
 
 def checkerboard(n=8, size=64, a=(1.0, 1.0, 1.0), b=(0.0, 0.0, 0.0)) -> Texture:
@@ -51,6 +80,8 @@ def pack_textures(textures: list) -> dict:
         return {
             "atlas": np.zeros((1, 1, 3), np.float32),
             "info": np.zeros((1, 4), np.int32),
+            "proc": np.zeros((1,), np.int32),
+            "proc_params": np.zeros((1, 4), np.float32),
         }
     max_w = max(t.image.shape[1] for t in textures)
     atlas_w = max(256, 1 << int(np.ceil(np.log2(max_w))))
@@ -73,10 +104,14 @@ def pack_textures(textures: list) -> dict:
             atlas_h += h
     atlas = np.zeros((atlas_h, atlas_w, 3), np.float32)
     info = np.zeros((len(textures), 4), np.int32)
+    proc = np.zeros((len(textures),), np.int32)
+    proc_params = np.zeros((len(textures), 4), np.float32)
     for i, (t, (y0, x0, h, w)) in enumerate(zip(textures, placements)):
         atlas[y0 : y0 + h, x0 : x0 + w] = t.image
         info[i] = (y0, x0, h, w)
-    return {"atlas": atlas, "info": info}
+        proc[i] = t.procedural
+        proc_params[i] = t.proc_params
+    return {"atlas": atlas, "info": info, "proc": proc, "proc_params": proc_params}
 
 
 def sample_texture(atlas: jnp.ndarray, info: jnp.ndarray, tex_id, uv):
@@ -123,3 +158,65 @@ def direction_to_latlong_uv(d: jnp.ndarray) -> jnp.ndarray:
     u = (phi / (2.0 * jnp.pi)) + 0.5
     v = 1.0 - theta / jnp.pi
     return jnp.stack([u, v], axis=-1)
+
+
+# --- procedural evaluation (reference src/shaders/*noise*.osl) ----------
+
+def _hash01(ix, iy, seed):
+    """Lattice hash -> [0,1) float, PCG-style (math/rng.pcg4d family)."""
+    x = ix.astype(jnp.uint32) * jnp.uint32(1664525) + jnp.uint32(1013904223)
+    y = iy.astype(jnp.uint32) * jnp.uint32(22695477) + jnp.uint32(seed)
+    h = (x ^ (y << 7)) * jnp.uint32(0x9E3779B9)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    mant = (h & jnp.uint32(0x007FFFFF)) | jnp.uint32(0x3F800000)
+    import jax
+
+    return jax.lax.bitcast_convert_type(mant, jnp.float32) - 1.0
+
+
+def value_noise(uv: jnp.ndarray, scale, seed: int = 1) -> jnp.ndarray:
+    """Bilinear value noise in [0,1), (N,) from (N,2) uv."""
+    q = uv * scale
+    i = jnp.floor(q)
+    f = q - i
+    f = f * f * (3.0 - 2.0 * f)  # smoothstep
+    ix = i[..., 0].astype(jnp.int32)
+    iy = i[..., 1].astype(jnp.int32)
+    a = _hash01(ix, iy, seed)
+    b = _hash01(ix + 1, iy, seed)
+    c = _hash01(ix, iy + 1, seed)
+    d = _hash01(ix + 1, iy + 1, seed)
+    top = a * (1 - f[..., 0]) + b * f[..., 0]
+    bot = c * (1 - f[..., 0]) + d * f[..., 0]
+    return top * (1 - f[..., 1]) + bot * f[..., 1]
+
+
+def musgrave_noise(uv: jnp.ndarray, scale, octaves: int, lacunarity, gain):
+    """Fractal (fBm) value noise, fixed octave unroll."""
+    out = jnp.zeros(uv.shape[:-1], jnp.float32)
+    amp = 1.0
+    freq = scale
+    norm = 0.0
+    for o in range(int(octaves)):
+        out = out + amp * value_noise(uv, freq, seed=11 + o)
+        norm += amp
+        amp = amp * gain
+        freq = freq * lacunarity
+    return out / jnp.maximum(norm, 1e-9)
+
+
+def sample_texture_any(tex_tables: dict, tex_id, uv):
+    """Image-or-procedural texture sample. tex_tables holds atlas/info/
+    proc/proc_params (jnp). Returns (N, 3). Callers gate on the scene's
+    static has_procedural flag so image-only scenes never build the
+    noise graph."""
+    img = sample_texture(tex_tables["atlas"], tex_tables["info"], tex_id, uv)
+    proc = tex_tables["proc"][jnp.maximum(tex_id, 0)]
+    pp = tex_tables["proc_params"][jnp.maximum(tex_id, 0)]
+    rnd = value_noise(uv, pp[..., 0:1])
+    mus = musgrave_noise(uv, pp[..., 0:1], 4, 2.0, 0.5)
+    out = jnp.where((proc == PROC_RANDOM)[..., None], rnd[..., None], img)
+    out = jnp.where((proc == PROC_MUSGRAVE)[..., None], mus[..., None], out)
+    return out

@@ -190,6 +190,20 @@ def _eval_node(ntype: str, p: dict, load_texture=None):
         if load_texture is None:
             raise ValueError("environment_node without a texture loader")
         return TextureRef(load_texture(p.get("filename", "")))
+    if ntype in (
+        "random_noise_1d_node",
+        "random_noise_2d_node",
+        "random_noise_3d_node",
+    ):
+        if load_texture is None:
+            raise ValueError("noise node without a texture loader")
+        scale = float(p.get("scale", 8.0))
+        return TextureRef(load_texture(f"proc:random:{scale}"))
+    if ntype == "musgrave_noise_3d_node":
+        if load_texture is None:
+            raise ValueError("noise node without a texture loader")
+        scale = float(p.get("scale", 4.0))
+        return TextureRef(load_texture(f"proc:musgrave:{scale}"))
     if ntype == "material_node":
         v = p.get("Cs")
         return v if isinstance(v, ClosureVal) else ClosureVal()  # carries
@@ -328,6 +342,18 @@ def import_scene(path: str) -> Scene:
     def load_texture(filename: str) -> int:
         if filename in tex_cache:
             return tex_cache[filename]
+        from phosphorus_mk2_tpu.core.texture import Texture
+
+        if filename.startswith("proc:"):
+            _, kind, scale = filename.split(":")
+            tex = (
+                Texture.random_noise(float(scale))
+                if kind == "random"
+                else Texture.musgrave(float(scale))
+            )
+            tid = scene.add_texture(tex)
+            tex_cache[filename] = tid
+            return tid
         fpath = filename
         if not os.path.isabs(fpath):
             fpath = os.path.join(base, fpath)

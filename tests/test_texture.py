@@ -119,3 +119,31 @@ def test_env_map_lookup():
     )
     # camera tilted up: top rows see brighter env than bottom rows
     assert img[0].mean() > img[-1].mean()
+
+
+def test_procedural_noise_textures():
+    import jax.numpy as jnp
+
+    from phosphorus_mk2_tpu.core.texture import (
+        Texture,
+        musgrave_noise,
+        pack_textures,
+        sample_texture_any,
+        value_noise,
+    )
+
+    uv = jnp.stack(
+        jnp.meshgrid(jnp.linspace(0, 1, 32), jnp.linspace(0, 1, 32)), -1
+    ).reshape(-1, 2)
+    v = np.asarray(value_noise(uv, 8.0))
+    assert v.min() >= 0 and v.max() < 1
+    assert v.std() > 0.1  # actually varies
+    m = np.asarray(musgrave_noise(uv, 4.0, 4, 2.0, 0.5))
+    assert np.isfinite(m).all() and m.std() > 0.02
+
+    packed = pack_textures([Texture.random_noise(8.0), Texture.musgrave(4.0)])
+    tables = {k: jnp.asarray(val) for k, val in packed.items()}
+    out0 = np.asarray(sample_texture_any(tables, jnp.zeros(uv.shape[0], jnp.int32), uv))
+    out1 = np.asarray(sample_texture_any(tables, jnp.ones(uv.shape[0], jnp.int32), uv))
+    assert out0.std() > 0.05 and out1.std() > 0.02
+    assert not np.allclose(out0, out1)
