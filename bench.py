@@ -39,7 +39,9 @@ def main() -> int:
     scene = cornell_box(width=WIDTH, height=HEIGHT)
     data = scene.build()
     cam = camera_to_params(scene.camera)
-    tracer = make_tracer(data, use_bvh=False)  # dense MT: VPU speed-of-light
+    # Pallas explicit-VMEM MT kernel (falls back to XLA brute off-TPU)
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    tracer = make_tracer(data, use_bvh=False, use_pallas=on_tpu)
     key = jax.random.key(0)
 
     import functools

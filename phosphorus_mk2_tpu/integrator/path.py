@@ -90,13 +90,6 @@ def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False, kind: str
         return intersect_clusters, occluded_clusters
 
     if kind == "block":
-        if use_pallas:
-            from phosphorus_mk2_tpu.accel.pallas_traverse import (
-                intersect_pallas,
-                occluded_pallas,
-            )
-
-            return intersect_pallas, occluded_pallas
         from phosphorus_mk2_tpu.accel.block_traverse import (
             intersect_blocks,
             occluded_blocks,
@@ -114,6 +107,16 @@ def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False, kind: str
         from phosphorus_mk2_tpu.accel.traverse import intersect_bvh, occluded_bvh
 
         return intersect_bvh, occluded_bvh
+    if use_pallas:
+        # explicit-VMEM Pallas MT (1.6x the XLA brute on TPU, see
+        # tools/tpu_pallas_probe.py); real-TPU only (interpret mode in
+        # tests)
+        from phosphorus_mk2_tpu.accel.pallas_mt import (
+            intersect_pallas_brute,
+            occluded_pallas_brute,
+        )
+
+        return intersect_pallas_brute, occluded_pallas_brute
     from phosphorus_mk2_tpu.accel.intersect import intersect_brute, occluded_brute
 
     return intersect_brute, occluded_brute
