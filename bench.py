@@ -39,9 +39,11 @@ def main() -> int:
     scene = cornell_box(width=WIDTH, height=HEIGHT)
     data = scene.build()
     cam = camera_to_params(scene.camera)
-    # Pallas explicit-VMEM MT kernel (falls back to XLA brute off-TPU)
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
-    tracer = make_tracer(data, use_bvh=False, use_pallas=on_tpu)
+    # XLA brute tracer: in-pipeline fusion beats the isolated Pallas
+    # kernel win (measured: pallas 10.4 Mray/s vs xla 13.7 in-pipeline,
+    # though pallas wins 1.6x standalone — the pallas_call is a fusion
+    # barrier). Pallas stays available via use_pallas=True.
+    tracer = make_tracer(data, use_bvh=False)
     key = jax.random.key(0)
 
     import functools
