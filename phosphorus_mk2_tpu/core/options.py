@@ -22,3 +22,6 @@ class Options:
     seed: int = 0
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0      # passes between checkpoints; 0 = off
+    max_wavefront: int = 1 << 20   # pixels per device pass; larger frames
+                                   # render in sequential wavefront chunks
+                                   # (bounds HBM for 4K-class frames)

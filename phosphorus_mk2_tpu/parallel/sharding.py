@@ -83,14 +83,13 @@ def make_sharded_render(
     px, py, n_valid = shard_pixels(mesh, camera.width, camera.height)
 
     wave = NamedSharding(mesh, P("wave"))
-    replicated = NamedSharding(mesh, P())
 
     @functools.partial(
         jax.jit,
         static_argnames=("n_samples",),
         out_shardings={"color": wave, "normal": wave, "alpha": wave},
     )
-    def fn(scene, key, sample_offset, n_samples):
+    def fn(scene, key, sample_offset, n_samples, px=px, py=py):
         return render_pass_pixels(
             scene,
             cam_params,

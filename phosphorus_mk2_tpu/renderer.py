@@ -61,9 +61,31 @@ class Renderer:
         per_pass = max(1, min(opts.samples_per_pass, spp))
         sums, done = self._load_checkpoint()
         pass_idx = 0
+        n_pix = self.px.shape[0]
+        chunk = self.options.max_wavefront
         while done < spp:
             todo = min(per_pass, spp - done)
-            out = self.fn(self.data, self.key, done, todo)
+            if n_pix <= chunk:
+                out = self.fn(self.data, self.key, done, todo)
+            else:
+                # wavefront chunking: sequential pixel slices bound the
+                # per-pass memory for very large frames (the reference's
+                # 32x32 tiles served the same purpose, jobs/tiles.hpp)
+                import jax.numpy as jnp
+
+                pieces = []
+                for s0 in range(0, n_pix, chunk):
+                    s1 = min(s0 + chunk, n_pix)
+                    pad = chunk - (s1 - s0)
+                    cpx = jnp.pad(self.px[s0:s1], (0, pad))
+                    cpy = jnp.pad(self.py[s0:s1], (0, pad))
+                    part = self.fn(self.data, self.key, done, todo, cpx, cpy)
+                    pieces.append(
+                        jax.tree_util.tree_map(lambda a: a[: s1 - s0], part)
+                    )
+                out = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *pieces
+                )
             if sums is None:
                 sums = out
             else:
