@@ -30,6 +30,7 @@ WIDTH = 8           # 8-wide nodes, reference node.hpp:12
 SENTINEL = -1
 CLUSTER_TRIS = 128  # triangle-cluster granularity for the sorted
                     # cluster tracer (accel/cluster_traverse.py)
+SUPER_CLUSTERS = 16  # clusters per supercluster (hierarchical culling)
 
 
 class _BuildCtx:
@@ -262,4 +263,18 @@ def attach_bvh(scene_data, bvh: dict | None = None):
     dev["cluster_id"] = jnp.asarray(cl_ids)
     dev["cluster_bmin"] = jnp.asarray(bmin)
     dev["cluster_bmax"] = jnp.asarray(bmax)
+
+    # ---- supercluster level (hierarchical front-table for big scenes):
+    # groups of SUPER_CLUSTERS clusters; member bounds packed as rows so
+    # the tracer row-gathers one supercluster's members per wave
+    SC = SUPER_CLUSTERS
+    K2 = -(-K // SC)
+    pad2 = K2 * SC - K
+    big = np.float32(3.4e38)
+    mb_min = np.concatenate([bmin, np.full((pad2, 3), big, np.float32)])
+    mb_max = np.concatenate([bmax, np.full((pad2, 3), -big, np.float32)])
+    dev["sc_member_bmin"] = jnp.asarray(mb_min.reshape(K2, SC, 3))
+    dev["sc_member_bmax"] = jnp.asarray(mb_max.reshape(K2, SC, 3))
+    dev["sc_bmin"] = jnp.asarray(mb_min.reshape(K2, SC, 3).min(axis=1))
+    dev["sc_bmax"] = jnp.asarray(mb_max.reshape(K2, SC, 3).max(axis=1))
     return dataclasses.replace(scene_data, bvh=dev)

@@ -117,7 +117,72 @@ def _mt_rows(p, d, rows, best, live):
 
 MAX_FRONT = 64  # per-ray front-to-back cluster table depth (top-k);
                 # rays overlapping more clusters finish in the exact
-                # argmin fallback loop
+                # fallback pass
+DENSE_K = 2048  # above this many clusters the (N, K) slab table would
+                # blow HBM; the front table is built hierarchically via
+                # superclusters instead
+SC_FRONT = 32   # supercluster table depth in hierarchical mode
+
+
+def _front_table_dense(pp, dd, bvh, t_limit, kk):
+    """Dense (N, K) slab + top-k front table. Returns (ttbl, ctbl)."""
+    hit_tbl, tn_tbl = _slab_all(pp, dd, bvh["cluster_bmin"], bvh["cluster_bmax"])
+    pending0 = hit_tbl & (tn_tbl < t_limit[:, None])
+    tn_m0 = jnp.where(pending0, tn_tbl, T_MAX)
+    neg_top, ctbl = jax.lax.top_k(-tn_m0, kk)
+    return -neg_top, ctbl, jnp.float32(T_MAX)  # sc horizon: fully covered
+
+
+def _front_table_hierarchical(pp, dd, bvh, t_limit, kk):
+    """Supercluster-culled front table for big scenes: (N, K2) slab over
+    supercluster bounds -> per-ray top-J superclusters -> expand each
+    ray's superclusters (member-bounds row-gather, 16-wide slab) and
+    merge into a running top-kk cluster table. All memory O(N * kk).
+
+    Returns (ttbl, ctbl, sc_horizon (N,)) — sc_horizon is the J-th
+    supercluster entry distance: clusters beyond it are NOT in the
+    table, so rays whose best hit is farther need the exact fallback.
+    """
+    from phosphorus_mk2_tpu.accel.bvh_builder import SUPER_CLUSTERS as SC
+
+    sc_hit, sc_tn = _slab_all(pp, dd, bvh["sc_bmin"], bvh["sc_bmax"])
+    K2 = sc_tn.shape[1]
+    jj = min(SC_FRONT, K2)
+    sc_m = jnp.where(sc_hit & (sc_tn < t_limit[:, None]), sc_tn, T_MAX)
+    sc_neg, sctbl = jax.lax.top_k(-sc_m, jj)  # (N, jj)
+    sc_ttbl = -sc_neg
+    sc_horizon = sc_ttbl[:, -1]
+
+    mbmin = bvh["sc_member_bmin"]  # (K2, SC, 3)
+    mbmax = bvh["sc_member_bmax"]
+    n = pp.shape[0]
+    inv = 1.0 / jnp.where(dd == 0.0, 1e-30, dd)
+
+    def expand(j, carry):
+        ttbl, ctbl = carry
+        sc_j = jax.lax.dynamic_index_in_dim(sctbl, j, axis=1, keepdims=False)
+        sc_t = jax.lax.dynamic_index_in_dim(sc_ttbl, j, axis=1, keepdims=False)
+        live = sc_t < T_MAX
+        bmin = mbmin[jnp.where(live, sc_j, 0)]  # (N, SC, 3) row-gather
+        bmax = mbmax[jnp.where(live, sc_j, 0)]
+        t0 = (bmin - pp[:, None]) * inv[:, None]
+        t1 = (bmax - pp[:, None]) * inv[:, None]
+        tn = jnp.minimum(t0, t1).max(axis=-1)
+        tf = jnp.maximum(t0, t1).min(axis=-1)
+        hit = (tn <= tf) & (tf >= 0.0) & live[:, None] & (tn < t_limit[:, None])
+        tn = jnp.where(hit, jnp.maximum(tn, 0.0), T_MAX)
+        cid = sc_j[:, None] * SC + jnp.arange(SC)[None, :]
+        # merge into the running table
+        cat_t = jnp.concatenate([ttbl, tn], axis=1)
+        cat_c = jnp.concatenate([ctbl, cid], axis=1)
+        neg, idx = jax.lax.top_k(-cat_t, kk)
+        rows = jnp.arange(n)[:, None]
+        return -neg, cat_c[rows, idx]
+
+    ttbl0 = jnp.full((n, kk), T_MAX)
+    ctbl0 = jnp.zeros((n, kk), jnp.int32)
+    ttbl, ctbl = jax.lax.fori_loop(0, jj, expand, (ttbl0, ctbl0))
+    return ttbl, ctbl, sc_horizon
 
 
 def _trace(scene, p, d, t_limit, any_hit):
@@ -128,25 +193,20 @@ def _trace(scene, p, d, t_limit, any_hit):
 
     pp = jax.lax.stop_gradient(p)
     dd = jax.lax.stop_gradient(d)
-    hit_tbl, tn_tbl = _slab_all(pp, dd, bvh["cluster_bmin"], bvh["cluster_bmax"])
-    pending0 = hit_tbl & (tn_tbl < t_limit[:, None])
 
-    nrows = jnp.arange(n)
-    karange = jnp.arange(K)[None, :]
-
-    # --- one-time front-to-back ordering: the k nearest overlapped
-    # clusters per ray (moves the per-wave (N, K) argmin out of the loop)
     kk = min(MAX_FRONT, K)
-    tn_m0 = jnp.where(pending0, tn_tbl, T_MAX)
-    neg_top, ctbl = jax.lax.top_k(-tn_m0, kk)  # (N, kk)
-    ttbl = -neg_top
-    kth_tn = ttbl[:, -1]  # per-ray distance horizon covered by the table
+    hierarchical = K > DENSE_K and "sc_bmin" in bvh
+    if hierarchical:
+        ttbl, ctbl, sc_horizon = _front_table_hierarchical(pp, dd, bvh, t_limit, kk)
+    else:
+        ttbl, ctbl, sc_horizon = _front_table_dense(pp, dd, bvh, t_limit, kk)
+    kth_tn = jnp.minimum(ttbl[:, -1], sc_horizon)  # per-ray covered horizon
 
     # --- straggler compaction: overlap counts are known up front, so
     # sort rays by descending work; wave w only touches the prefix of
     # rays with > w overlapped clusters, processed in fixed chunks with
     # a dynamic trip count. Dead lanes never reach the MT kernel.
-    overlap = pending0.sum(axis=1)  # (N,)
+    overlap = (ttbl < T_MAX).sum(axis=1)  # (N,)
     order = jnp.argsort(-overlap)
     inv = jnp.argsort(order)
     sp_p = pp[order]
@@ -216,57 +276,66 @@ def _trace(scene, p, d, t_limit, any_hit):
         return w, go, best
 
     _, _, state = jax.lax.while_loop(
-        wave_cond, wave_body, (jnp.int32(0), pending0.any(), state0)
+        wave_cond, wave_body, (jnp.int32(0), (ttbl[:, 0] < T_MAX).any(), state0)
     )
     best_t = state[0][inv]
     best_tri = state[1][inv]
     best_u = state[2][inv]
     best_v = state[3][inv]
 
-    # --- exact fallback for rays whose overlap exceeded the table:
-    # clusters at or beyond the per-ray horizon, still closer than the
-    # current best (ties re-test a cluster — harmless min-updates)
-    pending = (
-        pending0
-        & (tn_tbl >= kth_tn[:, None])
-        & (tn_tbl < best_t[:, None])
-        & (kth_tn < T_MAX)[:, None]
-    )
+    # --- exact fallback for rays whose front table did not cover their
+    # hit range (table overflow or supercluster horizon): brute-force
+    # every cluster for the needy rays only, via the same sorted
+    # prefix-chunk compaction. Rare, exact, scene-size-linear.
+    needy = kth_tn < best_t
     if any_hit:
-        pending = pending & (best_tri < 0)[:, None]
+        needy = needy & (best_tri < 0)
 
-    def cond(carry):
-        return carry[0]
+    def fallback(args):
+        best_t, best_tri, best_u, best_v = args
+        order2 = jnp.argsort(~needy)  # needy rays first
+        inv2 = jnp.argsort(order2)
+        f_p = pp[order2]
+        f_d = dd[order2]
+        fb = (best_t[order2], best_tri[order2], best_u[order2], best_v[order2])
+        a_n = needy.sum()
+        CH2 = min(4096, n)
 
-    def body(carry):
-        _, pending, best_t, best_tri, best_u, best_v = carry
-        active = pending & (tn_tbl < best_t[:, None])
-        if any_hit:
-            active = active & (best_tri < 0)[:, None]
-        tn_m = jnp.where(active, tn_tbl, T_MAX)
-        c = jnp.argmin(tn_m, axis=1)
-        live = active[nrows, c]
-        rows = rows_tbl[jnp.where(live, c, 0)]
-        best = _mt_rows(
-            pp, dd, rows, (best_t, best_tri, best_u, best_v), live
-        )
-        best_t, best_tri, best_u, best_v = best
-        pending = pending & ~((karange == c[:, None]) & live[:, None])
-        more = pending & (tn_tbl < best_t[:, None])
-        if any_hit:
-            more = more & (best_tri < 0)[:, None]
-        return more.any(), pending, best_t, best_tri, best_u, best_v
+        def ray_chunk(ci, fb):
+            start = jnp.minimum(ci * CH2, n - CH2)
 
-    carry0 = (
-        pending.any(),
-        pending,
-        best_t,
-        best_tri,
-        best_u,
-        best_v,
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(x, start, CH2)
+
+            cur = tuple(sl(x) for x in fb)
+            rp = jnp.stack([sl(f_p[:, 0]), sl(f_p[:, 1]), sl(f_p[:, 2])], 1)
+            rd = jnp.stack([sl(f_d[:, 0]), sl(f_d[:, 1]), sl(f_d[:, 2])], 1)
+            live = jnp.ones((CH2,), bool)
+
+            def cl(k, cur):
+                rows = jax.lax.dynamic_index_in_dim(
+                    rows_tbl, k, keepdims=False
+                )[None]
+                rows = jnp.broadcast_to(rows, (CH2,) + rows.shape[1:])
+                return _mt_rows(rp, rd, rows, cur, live)
+
+            cur = jax.lax.fori_loop(0, K, cl, cur)
+            return tuple(
+                jax.lax.dynamic_update_slice_in_dim(full, nv, start, 0)
+                for full, nv in zip(fb, cur)
+            )
+
+        n_rc = jnp.minimum((a_n + CH2 - 1) // CH2, (n + CH2 - 1) // CH2)
+        fb = jax.lax.fori_loop(0, n_rc, ray_chunk, fb)
+        return tuple(x[inv2] for x in fb)
+
+    best_t, best_tri, best_u, best_v = jax.lax.cond(
+        needy.any(),
+        fallback,
+        lambda args: args,
+        (best_t, best_tri, best_u, best_v),
     )
-    _, _, t, tri, u, v = jax.lax.while_loop(cond, body, carry0)
-    return t, tri, u, v
+    return best_t, best_tri, best_u, best_v
 
 
 def intersect_clusters(scene, p, d, tmax=None):

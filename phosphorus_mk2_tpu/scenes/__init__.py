@@ -6,6 +6,7 @@ from phosphorus_mk2_tpu.scenes.builders import (
     make_uv_sphere,
     sphere_in_box,
     multi_bsdf_scene,
+    terrain_scene,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "make_uv_sphere",
     "sphere_in_box",
     "multi_bsdf_scene",
+    "terrain_scene",
 ]

@@ -174,6 +174,65 @@ def cornell_box(width=256, height=256) -> Scene:
     return scene
 
 
+def terrain_scene(grid: int = 512, width=256, height=256, seed: int = 7) -> Scene:
+    """Large-mesh benchmark scene: a value-noise displaced terrain grid
+    (2*grid^2 triangles — grid=707 gives ~1M) under a sky light, with a
+    few glossy spheres. Stands in for the BMW-scale Alembic asset
+    (BASELINE config 4) in an environment without Alembic."""
+    rng = np.random.default_rng(seed)
+    scene = Scene()
+    ground = scene.add_material(Material.diffuse((0.45, 0.4, 0.35), name="ground"))
+    glossy = scene.add_material(Material.glossy((0.9, 0.9, 0.95), roughness=0.15, name="g"))
+    scene.set_environment(Material.background((0.7, 0.8, 1.0), power=1.2, name="sky"))
+
+    # fractal height field
+    n = grid + 1
+    xs = np.linspace(-4, 4, n, dtype=np.float32)
+    zs = np.linspace(-4, 4, n, dtype=np.float32)
+    xx, zz = np.meshgrid(xs, zs, indexing="ij")
+    h = np.zeros((n, n), np.float32)
+    amp, freq = 1.0, 1.0
+    for o in range(6):
+        phase = rng.uniform(0, 2 * np.pi, 4)
+        h += amp * (
+            np.sin(freq * xx * 1.7 + phase[0]) * np.cos(freq * zz * 1.3 + phase[1])
+            + 0.5 * np.sin(freq * (xx + zz) * 0.9 + phase[2])
+        )
+        amp *= 0.45
+        freq *= 2.1
+    h = (h * 0.25 - 1.0).astype(np.float32)
+
+    verts = np.stack([xx, h, zz], axis=-1).reshape(-1, 3)
+    i, j = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
+    v00 = (i * n + j).reshape(-1)
+    v10 = ((i + 1) * n + j).reshape(-1)
+    v01 = (i * n + j + 1).reshape(-1)
+    v11 = ((i + 1) * n + j + 1).reshape(-1)
+    faces = np.concatenate(
+        [
+            np.stack([v00, v10, v11], axis=-1),
+            np.stack([v00, v11, v01], axis=-1),
+        ]
+    ).astype(np.int32)
+    scene.add_mesh(
+        Mesh(vertices=verts, faces=faces, material=ground, smooth=True, name="terrain")
+    )
+    for k in range(3):
+        scene.add_mesh(
+            make_uv_sphere(
+                (-1.5 + 1.5 * k, 0.1 + 0.2 * k, -0.5 + 0.4 * k),
+                0.35,
+                n_theta=24,
+                n_phi=48,
+                material=glossy,
+            )
+        )
+    scene.camera = Camera.look_at(
+        (0.0, 1.2, 4.5), (0.0, -0.4, 0.0), width=width, height=height
+    )
+    return scene
+
+
 def multi_bsdf_scene(width=512, height=512) -> Scene:
     """BASELINE config 3: multiple meshes with glossy/dielectric BSDFs."""
     scene = Scene()
