@@ -121,7 +121,8 @@ MAX_FRONT = 64  # per-ray front-to-back cluster table depth (top-k);
 DENSE_K = 2048  # above this many clusters the (N, K) slab table would
                 # blow HBM; the front table is built hierarchically via
                 # superclusters instead
-SC_FRONT = 32   # supercluster table depth in hierarchical mode
+SC_FRONT = 16   # supercluster table depth in hierarchical mode (p99 sc
+                # overlap is ~8; the exact fallback covers overflow)
 
 
 def _front_table_dense(pp, dd, bvh, t_limit, kk):
@@ -179,6 +180,30 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk):
     cand_t = jnp.moveaxis(cand_t, 0, 1).reshape(n, jj * SC)
     cand_c = jnp.moveaxis(cand_c, 0, 1).reshape(n, jj * SC)
 
+    K = bvh["cluster_bmin"].shape[0]
+    if K < (1 << 15):
+        # key-packing sort: cluster id rides in the low mantissa bits of
+        # the (nonnegative) tnear, so ONE row-sort yields both tables
+        # with zero per-element gathers (a (N,kk) fancy-index gather
+        # here measured ~100x the sort cost on TPU). Mantissa truncation
+        # only lowers tn — conservative for the horizon test.
+        bits = jax.lax.bitcast_convert_type(cand_t, jnp.uint32)
+        packed = (bits & jnp.uint32(0xFFFF8000)) | cand_c.astype(jnp.uint32)
+        packed = jnp.sort(packed, axis=1)[:, :kk]
+        key_bits = packed & jnp.uint32(0xFFFF8000)
+        tmax_key = (
+            jax.lax.bitcast_convert_type(jnp.float32(T_MAX), jnp.uint32)
+            & jnp.uint32(0xFFFF8000)
+        )
+        ctbl = (packed & jnp.uint32(0x7FFF)).astype(jnp.int32)
+        ttbl = jnp.where(
+            key_bits >= tmax_key,
+            T_MAX,
+            jax.lax.bitcast_convert_type(key_bits, jnp.float32),
+        )
+        return ttbl, ctbl, sc_horizon
+
+    # > 32767 clusters: plain top-k + payload gather (slower, unbounded)
     neg, idx = jax.lax.top_k(-cand_t, kk)
     rows = jnp.arange(n)[:, None]
     return -neg, cand_c[rows, idx], sc_horizon
