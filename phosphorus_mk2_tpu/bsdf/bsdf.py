@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from phosphorus_mk2_tpu.bsdf.lobes import eval_lobe, sample_lobe
+from phosphorus_mk2_tpu.bsdf.lobes import eval_lobe, sample_lobe, sample_lobe_sorted
 from phosphorus_mk2_tpu.core.material import (
     FLAG_REFLECT,
     FLAG_SPECULAR,
@@ -209,9 +209,17 @@ def bsdf_sample(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, u2: jnp.ndarray):
     flags_sel = lobes["flags"][rows, idx]
 
     remapped = jnp.stack([u_remap, u2[..., 1]], axis=-1)
-    f_s, wo, pdf = sample_lobe(
-        type_sel, param_sel, n, wi, remapped, present=lobes.get("present")
-    )
+    present = lobes.get("present")
+    if present and len(present) > 2 and num >= 4096:
+        # many lobe types + big wavefront: type-sorted dispatch (the
+        # reference's deferred-shading bucketing) beats dense all-types
+        f_s, wo, pdf = sample_lobe_sorted(
+            type_sel, param_sel, n, wi, remapped, present
+        )
+    else:
+        f_s, wo, pdf = sample_lobe(
+            type_sel, param_sel, n, wi, remapped, present=present
+        )
 
     selected_valid = pdf != 0.0
     result = f_s[..., None] * weight_sel  # (N, 3)

@@ -32,9 +32,11 @@ Intentionally replicated reference quirks (for allclose parity):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from phosphorus_mk2_tpu.core.material import (
+    NUM_LOBE_TYPES,
     DIFFUSE,
     MICROFACET,
     MICROFACET_REFRACT,
@@ -404,6 +406,110 @@ def eval_lobe(lobe_type, params, n, wi, wo, present=None):
 # src/bsdf.cpp:133-224)
 # ---------------------------------------------------------------------------
 
+def _sample_diffuse(params, n, wi, u2):
+    n_frame = tsf.make_frame(n)
+    cos_dir, cos_pdf = cosine_hemisphere(u2)
+    wo = tsf.to_world(n_frame, cos_dir)
+    return jnp.full(cos_pdf.shape, INV_PI), wo, cos_pdf
+
+
+def _sample_oren_nayar(params, n, wi, u2):
+    n_frame = tsf.make_frame(n)
+    cos_dir, cos_pdf = cosine_hemisphere(u2)
+    wo = tsf.to_world(n_frame, cos_dir)
+    return oren_nayar_f(params[..., 1], params[..., 2], n_frame, wi, wo), wo, cos_pdf
+
+
+def _sample_sheen(params, n, wi, u2):
+    n_frame = tsf.make_frame(n)
+    cos_dir, cos_pdf = cosine_hemisphere(u2)
+    wo = tsf.to_world(n_frame, cos_dir)
+    return sheen_f(params[..., 0], n_frame, wi, wo), wo, cos_pdf
+
+
+def _sample_reflection(params, n, wi, u2):
+    n_wi = dot(n, wi)
+    wo = -wi + (2.0 * n_wi)[..., None] * n
+    return jnp.ones_like(n_wi), wo, jnp.ones_like(n_wi)
+
+
+def _sample_refraction(params, n, wi, u2):
+    eta0 = params[..., 0]
+    cos_t = dot(n, wi)
+    sin_t = jnp.maximum(0.0, 1.0 - cos_t * cos_t)
+    entering = cos_t > 0.0
+    nn = jnp.where(entering[..., None], n, -n)
+    eta_r = jnp.where(entering, _safe_div(1.0, eta0, eps=0.0), eta0)
+    arg = 1.0 - eta_r * eta_r * sin_t
+    dnp = safe_sqrt(arg)
+    nk = eta_r * jnp.abs(cos_t) - dnp
+    wo = -wi * eta_r[..., None] + nn * nk[..., None]
+    return jnp.where(arg >= 0.0, 1.0, 0.0), wo, jnp.ones_like(cos_t)
+
+
+def _sample_microfacet(params, n, wi, u2):
+    n_frame = tsf.make_frame(n)
+    li = tsf.to_local(n_frame, wi)
+    ax, ay = params[..., 0], params[..., 1]
+    wh, dpdf = ggx_sample_wh(ax, ay, li, u2)
+    li_wh = dot(li, wh)
+    lo = -li + (2.0 * li_wh)[..., None] * wh
+    wo = tsf.to_world(n_frame, lo)
+    pdf = dpdf * _safe_div(1.0, 4.0 * li_wh)
+    f_val = ct_f(ax, ay, n_frame, wi, wo)
+    ok = (
+        (li[..., 1] != 0.0)
+        & (li_wh >= 0.0)
+        & tsf.ts_in_same_hemisphere(li, lo)
+    )
+    return jnp.where(ok, f_val, 0.0), wo, jnp.where(ok, pdf, 0.0)
+
+
+def _sample_microfacet_refract(params, n, wi, u2):
+    n_frame = tsf.make_frame(n)
+    li = tsf.to_local(n_frame, wi)
+    ax, ay, eta_p = params[..., 0], params[..., 1], params[..., 2]
+    wh, dpdf = ggx_sample_wh(ax, ay, li, u2)
+    li_wh = dot(li, wh)
+    eta_t = jnp.where(li[..., 1] > 0.0, _safe_div(1.0, eta_p), eta_p)
+    cos_ti = li_wh
+    sin2_tt = eta_t * eta_t * jnp.maximum(0.0, 1.0 - cos_ti * cos_ti)
+    cos_tt = safe_sqrt(1.0 - sin2_tt)
+    lo = -li * eta_t[..., None] + (eta_t * cos_ti - cos_tt)[..., None] * wh
+    sqrt_denom = dot(li, wh) + eta_t * dot(lo, wh)
+    dwh_dwi = jnp.abs(
+        (eta_t * eta_t * dot(lo, wh)) * _safe_div(1.0, sqrt_denom * sqrt_denom)
+    )
+    wo = tsf.to_world(n_frame, lo)
+    pdf = dpdf * dwh_dwi
+    f_val = ct_refract_f(ax, ay, eta_p, n_frame, wi, wo)
+    ok = (li[..., 1] != 0.0) & (li_wh >= 0.0) & (sin2_tt < 1.0)
+    passthrough = eta_p == 1.0
+    f = jnp.where(ok, f_val, 0.0)
+    f = jnp.where(passthrough, 1.0, f)
+    pdf = jnp.where(ok, pdf, 0.0)
+    pdf = jnp.where(passthrough, 1.0, pdf)
+    wo = jnp.where(passthrough[..., None], -wi, wo)
+    return f, wo, pdf
+
+
+def _sample_transparent(params, n, wi, u2):
+    one = jnp.ones(wi.shape[:-1], wi.dtype)
+    return one, -wi, one
+
+
+SAMPLERS = {
+    DIFFUSE: _sample_diffuse,
+    OREN_NAYAR: _sample_oren_nayar,
+    SHEEN: _sample_sheen,
+    REFLECTION: _sample_reflection,
+    REFRACTION: _sample_refraction,
+    MICROFACET: _sample_microfacet,
+    MICROFACET_REFRACT: _sample_microfacet_refract,
+    TRANSPARENT: _sample_transparent,
+}
+
+
 def sample_lobe(lobe_type, params, n, wi, u2, present=None):
     """Sample one (already-selected) lobe for every hit.
 
@@ -524,3 +630,63 @@ def sample_lobe(lobe_type, params, n, wi, u2, present=None):
         pdf = jnp.where(sel, pt, pdf)
         wo = jnp.where(sel[..., None], wt, wo)
     return f, wo, pdf
+
+
+def sample_lobe_sorted(lobe_type, params, n, wi, u2, present):
+    """Type-sorted sampling dispatch — the TPU form of the reference's
+    material-bucketed deferred shading (reference
+    src/kernels/cpu/deferred_shading_kernel.hpp:27-36).
+
+    Rays are sorted by their selected lobe type; each present type's
+    sampler runs only over its contiguous segment in fixed chunks with a
+    dynamic trip count, so a 7-type scene costs ~1x instead of 7x dense.
+    Outputs are identical to sample_lobe (same per-type math, routed).
+    """
+    num = wi.shape[0]
+    order = jnp.argsort(lobe_type)
+    inv = jnp.argsort(order)
+    t_s = lobe_type[order]
+    p_s = params[order]
+    n_s = n[order]
+    wi_s = wi[order]
+    u_s = u2[order]
+
+    counts = jnp.bincount(t_s, length=NUM_LOBE_TYPES)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)]
+    )[:-1]
+
+    f = jnp.zeros((num,), wi.dtype)
+    wo = jnp.zeros_like(wi)
+    pdf = jnp.zeros((num,), wi.dtype)
+
+    ch = min(8192, num)
+    cap = (num + ch - 1) // ch
+    for T in sorted(present):
+        fn = SAMPLERS[T]
+        cnt = counts[T]
+        off = offsets[T]
+
+        def chunk(ci, carry, fn=fn, T=T, off=off):
+            cf, cwo, cpdf = carry
+            start = jnp.clip(off + ci * ch, 0, num - ch).astype(jnp.int32)
+
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(x, start, ch)
+
+            mask = sl(t_s) == T
+            nf, nwo, npdf = fn(sl(p_s), sl(n_s), sl(wi_s), sl(u_s))
+            of, owo, opdf = sl(cf), sl(cwo), sl(cpdf)
+            nf = jnp.where(mask, nf, of)
+            nwo = jnp.where(mask[:, None], nwo, owo)
+            npdf = jnp.where(mask, npdf, opdf)
+            return (
+                jax.lax.dynamic_update_slice_in_dim(cf, nf, start, 0),
+                jax.lax.dynamic_update_slice_in_dim(cwo, nwo, start, 0),
+                jax.lax.dynamic_update_slice_in_dim(cpdf, npdf, start, 0),
+            )
+
+        n_ch = jnp.minimum((cnt + ch - 1) // ch, cap)
+        f, wo, pdf = jax.lax.fori_loop(0, n_ch, chunk, (f, wo, pdf))
+
+    return f[inv], wo[inv], pdf[inv]

@@ -156,3 +156,31 @@ def test_transparent_passthrough():
     f, wo, pdf, flags = bsdf_sample(lobes, n, wi, u2)
     np.testing.assert_allclose(np.asarray(wo), np.asarray(-wi), atol=1e-6)
     np.testing.assert_allclose(np.asarray(pdf), 1.0)
+
+
+def test_sorted_dispatch_matches_dense():
+    """Type-sorted sampling routes identically to the dense dispatch
+    (tiny GGX fp-reassociation differences allowed)."""
+    import jax
+
+    from phosphorus_mk2_tpu.bsdf.lobes import (
+        ALL_TYPES,
+        sample_lobe,
+        sample_lobe_sorted,
+    )
+
+    n_rays = 8192
+    key = jax.random.key(0)
+    types = jax.random.randint(key, (n_rays,), 1, 9).astype(jnp.int32)
+    params = jax.random.uniform(
+        jax.random.fold_in(key, 1), (n_rays, 6), minval=0.1, maxval=1.5
+    )
+    nrm = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (n_rays, 1))
+    wi = normalize(jnp.abs(jax.random.normal(jax.random.fold_in(key, 2), (n_rays, 3))))
+    u2 = jax.random.uniform(jax.random.fold_in(key, 3), (n_rays, 2))
+
+    f1, wo1, p1 = sample_lobe(types, params, nrm, wi, u2, present=ALL_TYPES)
+    f2, wo2, p2 = sample_lobe_sorted(types, params, nrm, wi, u2, ALL_TYPES)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wo1), np.asarray(wo2), rtol=1e-2, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-3, atol=1e-5)
