@@ -13,7 +13,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from phosphorus_mk2_tpu.bsdf.lobes import eval_lobe, sample_lobe, sample_lobe_sorted
+from phosphorus_mk2_tpu.bsdf.lobes import (
+    eval_lobe,
+    eval_lobe_sorted,
+    sample_lobe,
+    sample_lobe_sorted,
+)
 from phosphorus_mk2_tpu.core.material import (
     FLAG_REFLECT,
     FLAG_SPECULAR,
@@ -166,10 +171,15 @@ def _eval_all_slots(lobes: dict, n, wi, wo):
     def tile(x):
         return jnp.broadcast_to(x[:, None, :], (num, L, 3)).reshape(num * L, 3)
 
-    e, pdf = eval_lobe(
-        flat_type, flat_param, tile(n), tile(wi), tile(wo),
-        present=lobes.get("present"),
-    )
+    present = lobes.get("present")
+    if present and len(present) > 2 and num * L >= 4096:
+        e, pdf = eval_lobe_sorted(
+            flat_type, flat_param, tile(n), tile(wi), tile(wo), present
+        )
+    else:
+        e, pdf = eval_lobe(
+            flat_type, flat_param, tile(n), tile(wi), tile(wo), present=present
+        )
     return e.reshape(num, L), pdf.reshape(num, L)
 
 

@@ -350,6 +350,96 @@ ALL_TYPES = (
 )
 
 
+def _eval_diffuse(params, n, wi, wo):
+    n_wi = dot(n, wi)
+    return jnp.full(n_wi.shape, INV_PI), n_wi * INV_PI
+
+
+def _eval_oren_nayar(params, n, wi, wo):
+    n_frame = tsf.make_frame(n)
+    return (
+        oren_nayar_f(params[..., 1], params[..., 2], n_frame, wi, wo),
+        dot(n, wi) * INV_PI,
+    )
+
+
+def _eval_microfacet(params, n, wi, wo):
+    n_frame = tsf.make_frame(n)
+    ax, ay = params[..., 0], params[..., 1]
+    return ct_f(ax, ay, n_frame, wi, wo), ct_pdf(ax, ay, n_frame, wi, wo)
+
+
+def _eval_microfacet_refract(params, n, wi, wo):
+    n_frame = tsf.make_frame(n)
+    ax, ay, eta = params[..., 0], params[..., 1], params[..., 2]
+    return (
+        ct_refract_f(ax, ay, eta, n_frame, wi, wo),
+        ct_refract_pdf(ax, ay, eta, n_frame, wi, wo),
+    )
+
+
+def _eval_sheen(params, n, wi, wo):
+    n_frame = tsf.make_frame(n)
+    return sheen_f(params[..., 0], n_frame, wi, wo), dot(n, wi) * INV_PI
+
+
+EVALS = {
+    DIFFUSE: _eval_diffuse,
+    OREN_NAYAR: _eval_oren_nayar,
+    MICROFACET: _eval_microfacet,
+    MICROFACET_REFRACT: _eval_microfacet_refract,
+    SHEEN: _eval_sheen,
+    # REFLECTION / REFRACTION / TRANSPARENT eval to 0 (specular)
+}
+
+
+def eval_lobe_sorted(lobe_type, params, n, wi, wo, present):
+    """Type-sorted eval dispatch (see sample_lobe_sorted)."""
+    num = wi.shape[0]
+    order = jnp.argsort(lobe_type)
+    inv = jnp.argsort(order)
+    t_s = lobe_type[order]
+    p_s = params[order]
+    n_s = n[order]
+    wi_s = wi[order]
+    wo_s = wo[order]
+
+    counts = jnp.bincount(t_s, length=NUM_LOBE_TYPES)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)]
+    )[:-1]
+
+    f = jnp.zeros((num,), wi.dtype)
+    pdf = jnp.zeros((num,), wi.dtype)
+    ch = min(8192, num)
+    cap = (num + ch - 1) // ch
+    for T in sorted(set(present) & set(EVALS)):
+        fn = EVALS[T]
+        cnt = counts[T]
+        off = offsets[T]
+
+        def chunk(ci, carry, fn=fn, T=T, off=off):
+            cf, cpdf = carry
+            start = jnp.clip(off + ci * ch, 0, num - ch).astype(jnp.int32)
+
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(x, start, ch)
+
+            mask = sl(t_s) == T
+            nf, npdf = fn(sl(p_s), sl(n_s), sl(wi_s), sl(wo_s))
+            nf = jnp.where(mask, nf, sl(cf))
+            npdf = jnp.where(mask, npdf, sl(cpdf))
+            return (
+                jax.lax.dynamic_update_slice_in_dim(cf, nf, start, 0),
+                jax.lax.dynamic_update_slice_in_dim(cpdf, npdf, start, 0),
+            )
+
+        n_ch = jnp.minimum((cnt + ch - 1) // ch, cap)
+        f, pdf = jax.lax.fori_loop(0, n_ch, chunk, (f, pdf))
+
+    return f[inv], pdf[inv]
+
+
 def eval_lobe(lobe_type, params, n, wi, wo, present=None):
     """Evaluate one lobe slot for every hit; branch-free type dispatch.
 
