@@ -188,11 +188,17 @@ class Scene:
         if not self.meshes:
             raise ValueError("scene has no meshes")
 
+        needs_tangents = any(m.normal_texture >= 0 for m in self.materials)
         verts, faces, normals, uvs, smooth = [], [], [], [], []
         tangents = []
         tri_mat, tri_mesh = [], []
         v_off = 0
         for mi, mesh in enumerate(self.meshes):
+            if needs_tangents and mesh.tangents is None and mesh.uvs is not None:
+                # auto tangents for normal-mapped scenes (the reference
+                # generates MikkTSpace tangents only when a material asks
+                # for geom:tangent, plugins/blender/import.hpp:115-134)
+                mesh.tangents = mesh.compute_tangents()
             verts.append(mesh.vertices)
             faces.append(mesh.faces + v_off)
             n = mesh.normals

@@ -218,3 +218,42 @@ def test_cli_end_to_end(tmp_path):
     assert np.isfinite(img["R"]).all()
     # background pixels show the sky color
     assert abs(float(img["B"][0, 0]) - 0.5) < 1e-4
+
+
+def test_npz_scene_data(tmp_path):
+    """npz mesh bundles load through the YAML data: list."""
+    verts = np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    np.savez(
+        tmp_path / "mesh.npz",
+        n_meshes=1,
+        vertices=verts,
+        faces=faces,
+        material="white",
+        smooth=False,
+    )
+    (tmp_path / "scene.yaml").write_text(SCENE_YAML.replace("tri.obj", "mesh.npz"))
+    scene = import_scene(str(tmp_path / "scene.yaml"))
+    assert len(scene.meshes) == 1
+    np.testing.assert_array_equal(scene.meshes[0].vertices, verts)
+
+
+def test_cli_builtin_scene(tmp_path):
+    from phosphorus_mk2_tpu.cli import main
+
+    out = str(tmp_path / "b.exr")
+    rc = main(
+        ["builtin:sphere_in_box", "-o", out, "-s", "1", "-d", "1",
+         "--width", "16", "--height", "16", "--no-bvh"]
+    )
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_alembic_gated_error():
+    import pytest
+
+    from phosphorus_mk2_tpu.core.scene import Scene
+    from phosphorus_mk2_tpu.io.alembic import import_alembic
+
+    with pytest.raises(ImportError, match="Alembic"):
+        import_alembic("/nonexistent.abc", Scene())
