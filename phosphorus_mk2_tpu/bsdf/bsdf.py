@@ -201,6 +201,27 @@ def bsdf_f(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, wo: jnp.ndarray):
     return jnp.where((active & match)[..., None], contrib, 0.0).sum(axis=1)
 
 
+def bsdf_pdf(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, wo: jnp.ndarray):
+    """Solid-angle pdf of the uniform one-sample lobe mixture sampling
+    direction ``wi`` (toward the light) given viewer direction ``wo``.
+
+    pdf(wi) = (1/n_lobes) * sum over active hemisphere-matching lobes of
+    the per-lobe pdf — the clean mixture density. Used only by the MIS
+    integrator path (the reference has no MIS, and its sample() pdf
+    averaging over *matched* lobes, src/bsdf.cpp:244, is not a proper
+    mixture density; MIS balance weights need the same density on both
+    the NEE and BSDF-hit sides, so both use this function's convention).
+    Specular lobes contribute zero (their eval pdf is 0).
+    Returns (N,) f32.
+    """
+    L = lobes.get("max_lobes", MAX_LOBES)
+    match = _hemisphere_match(lobes["flags"][:, :L], n, wi, wo)  # (N, L)
+    active = jnp.arange(L)[None, :] < lobes["n"][:, None]
+    _, pdf = _eval_all_slots(lobes, n, wi, wo)  # (N, L)
+    total = jnp.where(active & match, pdf, 0.0).sum(axis=1)
+    return total / jnp.maximum(lobes["n"], 1).astype(total.dtype)
+
+
 def bsdf_sample(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, u2: jnp.ndarray):
     """Sample the container (reference bsdf_t::sample, src/bsdf.cpp:133-248).
 

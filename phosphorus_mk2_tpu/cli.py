@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spp-per-pass", type=int, default=4)
     p.add_argument("--no-bvh", action="store_true")
     p.add_argument("--pallas", action="store_true")
+    p.add_argument(
+        "--mis",
+        action="store_true",
+        help="NEE/BSDF multiple importance sampling (deviation from the "
+        "reference, which has none; drops its (e*4) NEE factor)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
@@ -98,6 +104,7 @@ def main(argv=None) -> int:
         samples_per_pass=args.spp_per_pass,
         use_bvh=not args.no_bvh,
         use_pallas=args.pallas,
+        mis=args.mis,
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,

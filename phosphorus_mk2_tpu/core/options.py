@@ -18,6 +18,10 @@ class Options:
     # TPU-specific knobs (no reference counterpart):
     samples_per_pass: int = 4      # spp chunking per jit invocation
     use_bvh: bool = True           # False = brute-force oracle tracer
+    mis: bool = False              # NEE/BSDF multiple importance sampling
+                                   # (deviation: the reference has no MIS
+                                   # and keeps an (e*4) NEE quirk; see
+                                   # integrator/path.trace_sample)
     use_pallas: bool = False       # Pallas traversal kernels (TPU only)
     seed: int = 0
     checkpoint_dir: str | None = None

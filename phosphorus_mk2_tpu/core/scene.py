@@ -77,6 +77,10 @@ class SceneData:
     tangents: jnp.ndarray = None      # (V, 3) f32 (zeros if none)
     tex_proc: jnp.ndarray = None      # (K,) i32 procedural type per texture
     tex_proc_params: jnp.ndarray = None  # (K, 4) f32
+    # NEE area pdf per triangle: 1/(num_lights * light_total_area) for
+    # triangles on an area light, 0 elsewhere. Used only by the MIS
+    # integrator path (no reference counterpart; the reference has no MIS)
+    tri_light_pdf: jnp.ndarray = None  # (F,) f32
     # acceleration structure (None = brute force oracle)
     bvh: dict | None = None
     # static metadata
@@ -257,6 +261,18 @@ class Scene:
         if not light_tris:
             light_tris.append(np.zeros((1,), np.int32))
 
+        # per-triangle NEE pdf (for MIS weighting of BSDF-sampled light
+        # hits): NEE picks a light uniformly (pdf / num_lights) and a
+        # point with area pdf 1/total_area (core/lights.py), so any point
+        # on an area light has pdf 1/(num_lights * light_total_area)
+        tri_light_pdf = np.zeros((faces_arr.shape[0],), np.float32)
+        if num_lights > 0:
+            for (ltype_r, mid_r, _, cnt_r, area_r), tris_r in zip(
+                light_rows, light_tris
+            ):
+                if ltype_r == LIGHT_AREA and cnt_r > 0 and area_r > 0.0:
+                    tri_light_pdf[tris_r] = 1.0 / (num_lights * area_r)
+
         lt = np.array([r[0] for r in light_rows], np.int32)
         lm = np.array([r[1] for r in light_rows], np.int32)
         lo = np.array([r[2] for r in light_rows], np.int32)
@@ -289,6 +305,7 @@ class Scene:
             light_count=jnp.asarray(lc),
             light_area=jnp.asarray(la),
             light_tris=jnp.asarray(np.concatenate(light_tris)),
+            tri_light_pdf=jnp.asarray(tri_light_pdf),
             tex_atlas=jnp.asarray(atlas["atlas"]),
             tex_info=jnp.asarray(atlas["info"]),
             lobe_tex=jnp.asarray(mats["lobe_tex"]),

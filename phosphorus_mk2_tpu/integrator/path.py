@@ -43,6 +43,7 @@ from phosphorus_mk2_tpu.bsdf.bsdf import (
     apply_fresnel,
     apply_textures,
     bsdf_f,
+    bsdf_pdf,
     bsdf_sample,
     emission_at,
     env_emission_at,
@@ -133,6 +134,7 @@ def trace_sample(
     max_depth: int,
     tracer,
     film_strata: int = 1,
+    mis: bool = False,
 ):
     """Trace one sample per pixel for a wavefront. Returns (radiance (N,3),
     first-hit normal (N,3), first-hit alpha (N,)).
@@ -140,7 +142,17 @@ def trace_sample(
     film_strata: stratify the film jitter on a d x d grid cycled by
     sample index (the reference stratifies its pixel samples over spp,
     src/sampling.cpp:98-112 — but shares one pattern across all pixels;
-    we stratify per pixel, identical expectation, lower variance)."""
+    we stratify per pixel, identical expectation, lower variance).
+
+    mis: multiple importance sampling between NEE and BSDF sampling
+    (balance heuristic). The reference has NO MIS — it drops emission at
+    non-first/non-specular vertices entirely (spt.hpp:177-179) and
+    scales NEE by an (e*4) quirk factor (spt.hpp:254). mis=True is a
+    flag-gated deviation: emission is kept at every vertex with balance
+    weights, the 4x quirk is dropped (the two strategies must estimate
+    the same integral), so absolute brightness differs from the
+    reference by that factor on NEE-dominated paths. mis=False (default)
+    is exact reference parity."""
     n = pixel_x.shape[0]
     closest, occluded = tracer
 
@@ -162,14 +174,14 @@ def trace_sample(
     nee_enabled = scene.num_lights > 0
 
     def bounce(carry, b):
-        p, d, beta, radiance, alive, spec, aux = carry
+        p, d, beta, radiance, alive, spec, pdf_prev, aux = carry
 
         hits = closest(scene, p, d)
         tri = hits["tri"]
         hit = hits["hit"] & alive
 
         # differentiable re-evaluation of the hit point
-        _, u, v = reintersect(scene, tri, p, d)
+        t_hit, u, v = reintersect(scene, tri, p, d)
         u = jnp.where(hit, u, 0.0)
         v = jnp.where(hit, v, 0.0)
         sp = shading_parameters(scene, tri, u, v)
@@ -183,6 +195,27 @@ def trace_sample(
         # 1. emission at first/specular vertices; env on miss
         emit_mask = hit & ((b == 0) | spec)
         radiance = radiance + jnp.where(emit_mask[..., None], beta * e_hit, 0.0)
+        if mis:
+            # balance-weighted emission at the remaining vertices: the
+            # BSDF-sampling side of the NEE/BSDF MIS pair. pdf_prev is
+            # the mixture pdf of the direction that produced this hit;
+            # the competing strategy is NEE with solid-angle pdf
+            # tri_light_pdf * d^2 / |cos| (zero off lights).
+            dist = jax.lax.stop_gradient(t_hit)
+            cos_h = jnp.abs(dot(hn, d))
+            pdf_nee_sa = (
+                scene.tri_light_pdf[jnp.maximum(tri, 0)]
+                * dist
+                * dist
+                / jnp.maximum(cos_h, 1e-20)
+            )
+            w_b = jax.lax.stop_gradient(
+                pdf_prev / jnp.maximum(pdf_prev + pdf_nee_sa, 1e-20)
+            )
+            mis_mask = hit & ~emit_mask
+            radiance = radiance + jnp.where(
+                mis_mask[..., None], beta * e_hit * w_b[..., None], 0.0
+            )
         miss_mask = alive & ~hit
         env_e = env_emission_at(scene, d)
         radiance = radiance + jnp.where(miss_mask[..., None], beta * env_e, 0.0)
@@ -221,7 +254,21 @@ def trace_sample(
             light_e = emission_at(scene, ls["mat"], ls["st"])
             cos_l = jnp.abs(dot(ls["n"], -wi))
             pdf_l = ls["pdf"] * dist * dist / jnp.maximum(cos_l, 1e-20)
-            li = (light_e * 4.0) * f / jnp.maximum(pdf_l, 1e-20)[..., None]
+            if mis:
+                # balance weight vs BSDF sampling of the same direction;
+                # the reference's (e*4) quirk is dropped in MIS mode so
+                # both strategies estimate the same integral
+                pdf_b = bsdf_pdf(lobes, hn, wi, wo_view)
+                w_nee = jax.lax.stop_gradient(
+                    pdf_l / jnp.maximum(pdf_l + pdf_b, 1e-20)
+                )
+                li = (
+                    light_e
+                    * f
+                    * (w_nee / jnp.maximum(pdf_l, 1e-20))[..., None]
+                )
+            else:
+                li = (light_e * 4.0) * f / jnp.maximum(pdf_l, 1e-20)[..., None]
             use = valid & ~occ
             radiance = radiance + jnp.where(use[..., None], beta * li, 0.0)
 
@@ -253,7 +300,14 @@ def trace_sample(
         d = jnp.where(alive_next[..., None], d_next, d)
         spec = jnp.where(alive_next, is_specular_flags(flags), False)
 
-        return (p, d, beta, radiance, alive_next, spec, aux), None
+        if mis:
+            # the clean mixture pdf of the direction just sampled — the
+            # density the BSDF-hit weight at the NEXT vertex competes
+            # with (must match bsdf_pdf's convention on the NEE side)
+            pdf_mix = bsdf_pdf(lobes, hn, d_next, wo_view)
+            pdf_prev = jnp.where(alive_next, pdf_mix, 0.0)
+
+        return (p, d, beta, radiance, alive_next, spec, pdf_prev, aux), None
 
     aux0 = {
         "first": jnp.ones((n,), bool),
@@ -267,9 +321,10 @@ def trace_sample(
         jnp.zeros((n, 3), jnp.float32),
         jnp.ones((n,), bool),
         jnp.zeros((n,), bool),
+        jnp.zeros((n,), jnp.float32),
         aux0,
     )
-    (p, d, beta, radiance, alive, spec, aux), _ = jax.lax.scan(
+    (p, d, beta, radiance, alive, spec, _pdf, aux), _ = jax.lax.scan(
         bounce, carry0, jnp.arange(max_depth)
     )
     return radiance, aux["normal"], aux["alpha"]
@@ -287,6 +342,7 @@ def render_pass_pixels(
     max_depth: int,
     tracer,
     film_strata: int = 1,
+    mis: bool = False,
 ):
     """Accumulate ``n_samples`` samples for an arbitrary pixel wavefront.
 
@@ -311,6 +367,7 @@ def render_pass_pixels(
             max_depth=max_depth,
             tracer=tracer,
             film_strata=film_strata,
+            mis=mis,
         )
         return (c_sum + r, n_sum + nrm, a_sum + alpha), None
 
@@ -335,6 +392,7 @@ def render_pass(
     max_depth: int,
     tracer,
     film_strata: int = 1,
+    mis: bool = False,
 ):
     """Accumulate ``n_samples`` samples for the full frame. Jittable."""
     n = width * height
@@ -352,6 +410,7 @@ def render_pass(
         max_depth=max_depth,
         tracer=tracer,
         film_strata=film_strata,
+        mis=mis,
     )
 
 
@@ -389,6 +448,7 @@ def render_aovs(
             max_depth=max_depth,
             tracer=tracer,
             film_strata=strata,
+            mis=getattr(options, "mis", False),
         ),
         static_argnames=("n_samples",),
     )
