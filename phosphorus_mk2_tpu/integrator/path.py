@@ -167,7 +167,10 @@ def trace_sample(
         cell = jnp.asarray(sample_idx, jnp.int32) % (d * d)
         sx = (cell % d).astype(jnp.float32)
         sy = (cell // d).astype(jnp.float32)
-        film_u = (jnp.stack([sx, sy], -1)[None, :] + film_u) / d
+        off = jnp.stack([sx, sy], -1)
+        if off.ndim == 1:  # scalar sample_idx; (N,) per-ray ids pass through
+            off = off[None, :]
+        film_u = (off + film_u) / d
 
     p0, d0 = generate_rays(cam_params, pixel_x, pixel_y, film_u, lens_u)
 
@@ -343,6 +346,7 @@ def render_pass_pixels(
     tracer,
     film_strata: int = 1,
     mis: bool = False,
+    spp_batch: int = 1,
 ):
     """Accumulate ``n_samples`` samples for an arbitrary pixel wavefront.
 
@@ -351,24 +355,45 @@ def render_pass_pixels(
     replicated (the TPU replacement for the reference's atomic tile
     queue, src/jobs/tiles.hpp:40).
 
+    spp_batch: samples traced per wavefront. >1 tiles the pixel axis so
+    each scan step runs a (spp_batch*N)-ray wavefront — small frames
+    otherwise under-fill the chip (TPU rule of thumb: give loop bodies
+    >=100k elements). Sample values are identical to spp_batch=1 (same
+    per-(pixel, sample) counters), sums differ only by fp reassociation.
+    Must divide n_samples; falls back to 1 when it doesn't.
+
     Returns dict of per-pixel sums (not yet divided by spp).
     """
     n = px.shape[0]
+    sb = max(1, min(spp_batch, n_samples))
+    if n_samples % sb != 0:
+        sb = 1
+    if sb > 1:
+        pxb = jnp.tile(px, sb)
+        pyb = jnp.tile(py, sb)
+        sub = jnp.repeat(jnp.arange(sb, dtype=jnp.int32), n)
+    else:
+        pxb, pyb, sub = px, py, None
 
     def one(carry, s):
         c_sum, n_sum, a_sum = carry
+        sidx = sample_offset + s * sb + sub if sb > 1 else sample_offset + s
         r, nrm, alpha = trace_sample(
             scene,
             cam_params,
-            px,
-            py,
-            sample_offset + s,
+            pxb,
+            pyb,
+            sidx,
             key,
             max_depth=max_depth,
             tracer=tracer,
             film_strata=film_strata,
             mis=mis,
         )
+        if sb > 1:
+            r = r.reshape(sb, n, 3).sum(axis=0)
+            nrm = nrm.reshape(sb, n, 3).sum(axis=0)
+            alpha = alpha.reshape(sb, n).sum(axis=0)
         return (c_sum + r, n_sum + nrm, a_sum + alpha), None
 
     init = (
@@ -376,7 +401,7 @@ def render_pass_pixels(
         jnp.zeros((n, 3), jnp.float32),
         jnp.zeros((n,), jnp.float32),
     )
-    (c, nrm, a), _ = jax.lax.scan(one, init, jnp.arange(n_samples))
+    (c, nrm, a), _ = jax.lax.scan(one, init, jnp.arange(n_samples // sb))
     return {"color": c, "normal": nrm, "alpha": a}
 
 
@@ -393,6 +418,7 @@ def render_pass(
     tracer,
     film_strata: int = 1,
     mis: bool = False,
+    spp_batch: int = 1,
 ):
     """Accumulate ``n_samples`` samples for the full frame. Jittable."""
     n = width * height
@@ -411,6 +437,7 @@ def render_pass(
         tracer=tracer,
         film_strata=film_strata,
         mis=mis,
+        spp_batch=spp_batch,
     )
 
 

@@ -243,6 +243,21 @@ def _eval_node(ntype: str, p: dict, load_texture=None):
         if op == "mul":
             return (1 - fac) * a + fac * (a * b)
         return (1 - fac) * a + fac * (a + b)
+    if ntype == "color_ramp_node":
+        # reference src/shaders/color_ramp.h rgb_ramp_lut(): index a color
+        # LUT at `at` in [0,1], optional lerp between entries. The
+        # reference's extrapolate branch calls an undefined helper (dead
+        # code); we clamp instead, as the in-range path does.
+        lut = np.asarray(p.get("ramp", [[0, 0, 0], [1, 1, 1]]), np.float32)
+        at = float(p.get("at", 0.0))
+        interpolate = int(p.get("interpolate", 1))
+        f = min(max(at, 0.0), 1.0) * (lut.shape[0] - 1)
+        i = int(f)
+        t = f - i
+        result = lut[i]
+        if interpolate and i + 1 < lut.shape[0]:
+            result = (1.0 - t) * result + t * lut[i + 1]
+        return np.asarray(result, np.float32)
     if ntype == "luminance_node":
         c = _color(p.get("Cs"), (0, 0, 0))
         return float(0.212671 * c[0] + 0.715160 * c[1] + 0.072169 * c[2])

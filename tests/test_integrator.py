@@ -63,3 +63,39 @@ def test_emissive_pixels_match_lamp_radiance():
     )
     lamp_e = 40.0 / np.pi  # emitter power/pi (diffuse_emitter_node semantics)
     assert img.max() <= lamp_e * 1.3 + 1e-3
+
+
+def test_spp_batch_equivalent():
+    """spp_batch tiles samples into the wavefront; same per-(pixel,
+    sample) RNG counters, so results match up to fp reassociation."""
+    import functools
+
+    from phosphorus_mk2_tpu.core.camera import camera_to_params
+    from phosphorus_mk2_tpu.integrator.path import make_tracer, render_pass
+
+    scene, data = small_scene(16)
+    cam = camera_to_params(scene.camera)
+    tracer = make_tracer(data, use_bvh=False)
+    key = jax.random.key(3)
+    outs = {}
+    for sb in (1, 4):
+        fn = jax.jit(
+            functools.partial(
+                render_pass, width=16, height=16, max_depth=3,
+                tracer=tracer, film_strata=2, spp_batch=sb,
+            ),
+            static_argnames=("n_samples",),
+        )
+        outs[sb] = np.asarray(fn(data, cam, key, 0, 8)["color"])
+    np.testing.assert_allclose(outs[4], outs[1], rtol=1e-4, atol=1e-5)
+
+    # non-divisor batch falls back to 1 (still correct)
+    fn = jax.jit(
+        functools.partial(
+            render_pass, width=16, height=16, max_depth=3,
+            tracer=tracer, spp_batch=3,
+        ),
+        static_argnames=("n_samples",),
+    )
+    out = np.asarray(fn(data, cam, key, 0, 8)["color"])
+    assert np.isfinite(out).all()

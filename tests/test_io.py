@@ -257,3 +257,44 @@ def test_alembic_gated_error():
 
     with pytest.raises(ImportError, match="Alembic"):
         import_alembic("/nonexistent.abc", Scene())
+
+
+def test_color_ramp_node():
+    # reference src/shaders/color_ramp.h rgb_ramp_lut semantics
+    spec = {
+        "shaders": [
+            {
+                "name": "color_ramp_node",
+                "layer": "ramp",
+                "parameters": [
+                    {"name": "ramp", "type": "rgb[]",
+                     "value": [[0, 0, 0], [1, 0, 0], [1, 1, 1]]},
+                    {"name": "at", "type": "float", "value": 0.25},
+                ],
+            },
+            {"name": "diffuse_bsdf_node", "layer": "d"},
+        ],
+        "connect": [
+            {"from": {"layer": "ramp", "slot": "Cout"},
+             "to": {"layer": "d", "slot": "Cs"}}
+        ],
+    }
+    mat = compile_material("r", spec)
+    # at=0.25 over 3 entries: f=0.5 -> lerp(lut[0], lut[1], 0.5)
+    np.testing.assert_allclose(mat.lobes[0].weight, (0.5, 0.0, 0.0))
+
+    # interpolate=0 -> nearest-below entry
+    spec["shaders"][0]["parameters"].append(
+        {"name": "interpolate", "type": "int", "value": 0}
+    )
+    mat2 = compile_material("r2", spec)
+    np.testing.assert_allclose(mat2.lobes[0].weight, (0.0, 0.0, 0.0))
+
+    # out-of-range clamps (the reference extrapolate path is dead code)
+    spec["shaders"][0]["parameters"] = [
+        {"name": "ramp", "type": "rgb[]",
+         "value": [[0, 0, 0], [1, 0, 0], [1, 1, 1]]},
+        {"name": "at", "type": "float", "value": 2.0},
+    ]
+    mat3 = compile_material("r3", spec)
+    np.testing.assert_allclose(mat3.lobes[0].weight, (1.0, 1.0, 1.0))
