@@ -148,37 +148,61 @@ def intersect_brute(scene, p, d, tmax=None, chunk: int | None = None):
     tri_ids = tri_ids.reshape(-1, chunk)
     tri_valid = tri_valid.reshape(-1, chunk)
 
-    t0 = jnp.full((n,), T_MAX) if tmax is None else tmax
-    init = (
-        t0,
-        jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n,)),
-        jnp.zeros((n,)),
-    )
+    # packed-key closest tracking: the winning lane index lives in the
+    # cleared low mantissa bits of t, so the whole chunk reduces with ONE
+    # fused min — no argmin, no row gathers, no extra (N, C) buffers
+    # (uint order == float order for t >= 0). The relative t
+    # quantization (2^-15 at 512-wide chunks) only affects tie-breaks
+    # between near-coplanar hits;
+    # the returned t/u/v are recomputed exactly for the winner (the same
+    # recomputation trick as the differentiable reintersect()).
+    lane_bits = max(1, (chunk - 1).bit_length())  # 512-chunk -> 9 bits (2^-15 rel)
+    assert chunk <= (1 << lane_bits)
+    lane_mask = jnp.uint32((1 << lane_bits) - 1)
+    miss_key = jnp.uint32(0x7F800000)  # +inf cleared: above any finite t
+
+    t0 = T_MAX if tmax is None else tmax
+    key0 = (
+        jnp.minimum(
+            jnp.full((n,), t0, jnp.float32).view(jnp.uint32)
+            if tmax is None
+            else jnp.asarray(tmax, jnp.float32).view(jnp.uint32),
+            miss_key,
+        )
+        & ~lane_mask
+    ) | lane_mask  # worst lane: any strictly-closer cleared-t wins
+    init = (key0, jnp.full((n,), -1, jnp.int32))
 
     verts = scene.vertices
     rp, rd = _soa_rays(p, d)
+    lanes = jnp.arange(chunk, dtype=jnp.uint32)[None, :]
 
     def body(carry, chunk_data):
-        best_t, best_tri, best_u, best_v = carry
+        best_key, best_tri = carry
         f, ids, ok = chunk_data
         a, e0, e1 = _soa_tris(verts, f)
         t, u, v, valid = mt_intersect_soa(rp, rd, a, e0, e1)  # (N, C)
-        valid = valid & ok[None, :] & (t < best_t[:, None])
-        t_masked = jnp.where(valid, t, T_MAX)
-        j = jnp.argmin(t_masked, axis=1)  # (N,)
-        rows = jnp.arange(n)
-        hit_any = valid[rows, j]
-        tj = t_masked[rows, j]
-        better = hit_any & (tj < best_t)
-        best_t = jnp.where(better, tj, best_t)
-        best_tri = jnp.where(better, ids[j], best_tri)
-        best_u = jnp.where(better, u[rows, j], best_u)
-        best_v = jnp.where(better, v[rows, j], best_v)
-        return (best_t, best_tri, best_u, best_v), None
+        keys = jnp.where(
+            valid & ok[None, :],
+            (t.view(jnp.uint32) & ~lane_mask) | lanes,
+            miss_key,
+        )
+        kmin = keys.min(axis=1)  # (N,) — the only reduction
+        better = (kmin < best_key) & (kmin < miss_key)
+        best_key = jnp.where(better, kmin, best_key)
+        base = ids[0]  # chunk is contiguous: global id = base + lane
+        best_tri = jnp.where(
+            better, base + (kmin & lane_mask).astype(jnp.int32), best_tri
+        )
+        return (best_key, best_tri), None
 
-    (t, tri, u, v), _ = jax.lax.scan(body, init, (faces, tri_ids, tri_valid))
+    (_, tri), _ = jax.lax.scan(body, init, (faces, tri_ids, tri_valid))
     hit = tri >= 0
+    a, b, c = _gather_tri_verts(scene, jnp.maximum(tri, 0))
+    t, u, v, _ = mt_intersect(p, d, a, b, c)
+    t = jnp.where(hit, t, T_MAX)
+    u = jnp.where(hit, u, 0.0)
+    v = jnp.where(hit, v, 0.0)
     return {"t": t, "tri": tri, "u": u, "v": v, "hit": hit}
 
 

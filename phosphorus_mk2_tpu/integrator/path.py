@@ -135,6 +135,7 @@ def trace_sample(
     tracer,
     film_strata: int = 1,
     mis: bool = False,
+    depth_unroll: int = 1,
 ):
     """Trace one sample per pixel for a wavefront. Returns (radiance (N,3),
     first-hit normal (N,3), first-hit alpha (N,)).
@@ -328,7 +329,7 @@ def trace_sample(
         aux0,
     )
     (p, d, beta, radiance, alive, spec, _pdf, aux), _ = jax.lax.scan(
-        bounce, carry0, jnp.arange(max_depth)
+        bounce, carry0, jnp.arange(max_depth), unroll=depth_unroll
     )
     return radiance, aux["normal"], aux["alpha"]
 
@@ -347,6 +348,8 @@ def render_pass_pixels(
     film_strata: int = 1,
     mis: bool = False,
     spp_batch: int = 1,
+    depth_unroll: int = 1,
+    sample_unroll: int = 1,
 ):
     """Accumulate ``n_samples`` samples for an arbitrary pixel wavefront.
 
@@ -389,6 +392,7 @@ def render_pass_pixels(
             tracer=tracer,
             film_strata=film_strata,
             mis=mis,
+            depth_unroll=depth_unroll,
         )
         if sb > 1:
             r = r.reshape(sb, n, 3).sum(axis=0)
@@ -401,7 +405,9 @@ def render_pass_pixels(
         jnp.zeros((n, 3), jnp.float32),
         jnp.zeros((n,), jnp.float32),
     )
-    (c, nrm, a), _ = jax.lax.scan(one, init, jnp.arange(n_samples // sb))
+    (c, nrm, a), _ = jax.lax.scan(
+        one, init, jnp.arange(n_samples // sb), unroll=sample_unroll
+    )
     return {"color": c, "normal": nrm, "alpha": a}
 
 
@@ -419,6 +425,8 @@ def render_pass(
     film_strata: int = 1,
     mis: bool = False,
     spp_batch: int = 1,
+    depth_unroll: int = 1,
+    sample_unroll: int = 1,
 ):
     """Accumulate ``n_samples`` samples for the full frame. Jittable."""
     n = width * height
@@ -438,6 +446,8 @@ def render_pass(
         film_strata=film_strata,
         mis=mis,
         spp_batch=spp_batch,
+        depth_unroll=depth_unroll,
+        sample_unroll=sample_unroll,
     )
 
 
@@ -467,6 +477,11 @@ def render_aovs(
     import math
 
     strata = max(1, round(math.sqrt(spp)))
+    # unroll the bounce scan (and samples moderately): the axon TPU
+    # platform has a large per-scan-iteration/kernel overhead (measured
+    # in tools/tpu_unroll.py: 15.0 -> 18.0 Mrays/s on the 256^2 bench)
+    depth_unroll = max_depth if max_depth <= 8 else 1
+    sample_unroll = 4 if per_pass % 4 == 0 else 1
     jitted = jax.jit(
         functools.partial(
             render_pass,
@@ -476,6 +491,8 @@ def render_aovs(
             tracer=tracer,
             film_strata=strata,
             mis=getattr(options, "mis", False),
+            depth_unroll=depth_unroll,
+            sample_unroll=sample_unroll,
         ),
         static_argnames=("n_samples",),
     )
