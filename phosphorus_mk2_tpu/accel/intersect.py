@@ -232,12 +232,18 @@ def occluded_brute(scene, p, d, tmax, chunk: int | None = None):
     return hit
 
 
-def reintersect(scene, tri, p, d):
+def reintersect(scene, tri, p, d, attr=None):
     """Differentiable (t, u, v) for known triangle ids.
 
     Gradients flow to scene.vertices through the gathered triangle
     vertices; comparisons/ids from the primal traversal are constants.
+    attr: optional core.shading.triangle_attribute_table row matrix —
+    reuses its one row-gather instead of four (faces + 3 vertex gathers).
     """
-    a, b, c = _gather_tri_verts(scene, jnp.maximum(tri, 0))
+    if attr is not None:
+        row = attr[jnp.maximum(tri, 0)]
+        a, b, c = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+    else:
+        a, b, c = _gather_tri_verts(scene, jnp.maximum(tri, 0))
     t, u, v, _ = mt_intersect(p, d, a, b, c)
     return t, u, v

@@ -29,20 +29,70 @@ from phosphorus_mk2_tpu.math.sampling import remap_index_sample
 from phosphorus_mk2_tpu.math.vec import dot
 
 
-def gather_lobes(scene, mat_id: jnp.ndarray) -> dict:
-    """Per-hit lobe arrays for a wavefront of material ids (N,)."""
-    return {
-        "type": scene.lobe_type[mat_id],      # (N, L)
-        "weight": scene.lobe_weight[mat_id],  # (N, L, 3)
-        "param": scene.lobe_param[mat_id],    # (N, L, P)
-        "flags": scene.lobe_flags[mat_id],    # (N, L)
-        "n": scene.n_lobes[mat_id],           # (N,)
-        # static: which lobe types exist anywhere in the scene (compiles
-        # away absent BSDF code paths); empty tuple means "unknown -> all"
-        "present": getattr(scene, "lobe_types_present", ()) or None,
-        # static: max lobes on any material (0 -> unknown -> MAX_LOBES)
-        "max_lobes": getattr(scene, "max_lobes_used", 0) or MAX_LOBES,
-    }
+def material_tables(scene):
+    """Packed per-material rows: one float row (weights|params) and one
+    int row (types|flags|n_lobes) per material.
+
+    Built in-jit (hoisted out of the bounce scan; differentiable w.r.t.
+    lobe weights/params) so gather_lobes needs 2 row-gathers instead of
+    5 — per-gather kernel-launch overhead dominates small wavefronts on
+    the axon platform (tools/tpu_stagesplit.py).
+    """
+    m, L = scene.lobe_type.shape
+    fl = jnp.concatenate(
+        [
+            scene.lobe_weight.reshape(m, L * 3),
+            scene.lobe_param.reshape(m, -1),
+        ],
+        axis=1,
+    )
+    il = jnp.concatenate(
+        [
+            scene.lobe_type,
+            scene.lobe_flags,
+            scene.n_lobes[:, None],
+        ],
+        axis=1,
+    )
+    return fl, il
+
+
+def gather_lobes(scene, mat_id: jnp.ndarray, tables=None) -> dict:
+    """Per-hit lobe arrays for a wavefront of material ids (N,).
+
+    tables: optional material_tables(scene) — pass in hot loops to
+    collapse the five per-material gathers into two."""
+    if tables is None:
+        gathered = {
+            "type": scene.lobe_type[mat_id],      # (N, L)
+            "weight": scene.lobe_weight[mat_id],  # (N, L, 3)
+            "param": scene.lobe_param[mat_id],    # (N, L, P)
+            "flags": scene.lobe_flags[mat_id],    # (N, L)
+            "n": scene.n_lobes[mat_id],           # (N,)
+        }
+    else:
+        fl, il = tables
+        n = mat_id.shape[0]
+        _, L = scene.lobe_type.shape
+        frow = fl[mat_id]  # (N, L*3 + L*P)
+        irow = il[mat_id]  # (N, 2L + 1)
+        gathered = {
+            "type": irow[:, :L],
+            "weight": frow[:, : L * 3].reshape(n, L, 3),
+            "param": frow[:, L * 3 :].reshape(n, L, -1),
+            "flags": irow[:, L : 2 * L],
+            "n": irow[:, 2 * L],
+        }
+    gathered.update(
+        {
+            # static: which lobe types exist anywhere in the scene (compiles
+            # away absent BSDF code paths); empty tuple means "unknown -> all"
+            "present": getattr(scene, "lobe_types_present", ()) or None,
+            # static: max lobes on any material (0 -> unknown -> MAX_LOBES)
+            "max_lobes": getattr(scene, "max_lobes_used", 0) or MAX_LOBES,
+        }
+    )
+    return gathered
 
 
 def apply_textures(scene, lobes: dict, mat_id: jnp.ndarray, st: jnp.ndarray) -> dict:

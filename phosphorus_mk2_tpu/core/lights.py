@@ -32,11 +32,30 @@ from phosphorus_mk2_tpu.math.sampling import (
 )
 
 
-def sample_lights(scene, u_pick: jnp.ndarray, u_tri: jnp.ndarray, u_uv: jnp.ndarray):
+def light_meta_table(scene) -> jnp.ndarray:
+    """(NL, 4) packed light metadata rows (type, mat, offset, count) —
+    one gather instead of four in the NEE hot loop (kernel-launch count
+    dominates small wavefronts on the axon platform)."""
+    return jnp.stack(
+        [scene.light_type, scene.light_mat, scene.light_offset, scene.light_count],
+        axis=-1,
+    )
+
+
+def sample_lights(
+    scene,
+    u_pick: jnp.ndarray,
+    u_tri: jnp.ndarray,
+    u_uv: jnp.ndarray,
+    attr=None,
+    meta=None,
+):
     """Sample one light point per wavefront entry.
 
     u_pick, u_tri, u_uv: (N,) uniforms (u_tri is reused/remapped for the
     triangle pick + barycentric x, as the reference does with uv.x).
+    attr: optional core.shading.triangle_attribute_table; meta: optional
+    light_meta_table — both collapse per-attribute gathers in hot loops.
 
     Returns dict:
       p (N,3) sampled point, n (N,3) light normal, pdf (N,) area pdf
@@ -47,10 +66,15 @@ def sample_lights(scene, u_pick: jnp.ndarray, u_tri: jnp.ndarray, u_uv: jnp.ndar
     nl = scene.num_lights
     light_idx, _ = remap_index_sample(u_pick, nl)
 
-    ltype = scene.light_type[light_idx]
-    lmat = scene.light_mat[light_idx]
-    lcount = jnp.maximum(scene.light_count[light_idx], 1)
-    loffset = scene.light_offset[light_idx]
+    if meta is None:
+        ltype = scene.light_type[light_idx]
+        lmat = scene.light_mat[light_idx]
+        loffset = scene.light_offset[light_idx]
+        lcount = jnp.maximum(scene.light_count[light_idx], 1)
+    else:
+        row = meta[light_idx]  # (N, 4)
+        ltype, lmat, loffset = row[..., 0], row[..., 1], row[..., 2]
+        lcount = jnp.maximum(row[..., 3], 1)
     larea = scene.light_area[light_idx]
 
     # area light: uniform triangle pick with sample reuse
@@ -59,10 +83,14 @@ def sample_lights(scene, u_pick: jnp.ndarray, u_tri: jnp.ndarray, u_uv: jnp.ndar
     bary = triangle_sample(jnp.stack([u_rem, u_uv], axis=-1))
     bu, bv = bary[..., 0], bary[..., 1]
 
-    f = scene.faces[gtri]
-    a = scene.vertices[f[..., 0]]
-    b = scene.vertices[f[..., 1]]
-    c = scene.vertices[f[..., 2]]
+    if attr is None:
+        f = scene.faces[gtri]
+        a = scene.vertices[f[..., 0]]
+        b = scene.vertices[f[..., 1]]
+        c = scene.vertices[f[..., 2]]
+    else:
+        arow = attr[gtri]
+        a, b, c = arow[..., 0:3], arow[..., 3:6], arow[..., 6:9]
     # reference convention: barycentric_to_point = u*a + v*b + (1-u-v)*c
     # (src/mesh.cpp:314-316)
     p_area = (
@@ -71,7 +99,7 @@ def sample_lights(scene, u_pick: jnp.ndarray, u_tri: jnp.ndarray, u_uv: jnp.ndar
     # ...but the light-side shading normal is computed with the *hit*
     # convention on the same (u, v) — replicating the reference's
     # convention mismatch (spt.hpp:245 via mesh.cpp:176-197).
-    sp = shading_parameters(scene, gtri, bu, bv)
+    sp = shading_parameters(scene, gtri, bu, bv, attr=attr)
     n_area = sp["n"]
     pdf_area = 1.0 / jnp.maximum(larea, 1e-20)
 

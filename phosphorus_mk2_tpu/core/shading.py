@@ -17,40 +17,92 @@ import jax.numpy as jnp
 from phosphorus_mk2_tpu.math.vec import cross, normalize
 
 
-def shading_parameters(scene, tri: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+def triangle_attribute_table(scene) -> jnp.ndarray:
+    """(F, 25[+9]) per-triangle attribute rows: a b c | n0 n1 n2 |
+    uv0 uv1 uv2 | smooth [| t0 t1 t2].
+
+    Built IN-JIT from the indexed mesh arrays (so gradients flow to
+    scene.vertices/normals and XLA hoists the build out of the bounce
+    scan: ~11 per-attribute wavefront gathers per call collapse into ONE
+    wide row-gather per call — on the axon platform every gather is a
+    kernel launch, and launches dominate small-wavefront renders; see
+    tools/tpu_stagesplit.py). The same trick as the reference's packed
+    moeller_trumbore_t leaves (src/accel/triangle.hpp:25: triangles
+    pre-swizzled so the hot loop reads contiguous rows).
+    """
+    f = scene.faces
+    cols = [
+        scene.vertices[f[:, 0]],
+        scene.vertices[f[:, 1]],
+        scene.vertices[f[:, 2]],
+        scene.normals[f[:, 0]],
+        scene.normals[f[:, 1]],
+        scene.normals[f[:, 2]],
+        scene.uvs[f[:, 0]],
+        scene.uvs[f[:, 1]],
+        scene.uvs[f[:, 2]],
+        scene.smooth[:, None].astype(jnp.float32),
+    ]
+    if getattr(scene, "has_normal_maps", False):
+        cols += [
+            scene.tangents[f[:, 0]],
+            scene.tangents[f[:, 1]],
+            scene.tangents[f[:, 2]],
+        ]
+    return jnp.concatenate(cols, axis=1)
+
+
+def shading_parameters(scene, tri: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, attr=None):
     """Interpolated shading normal, geometric position and uv for hits.
 
     tri: (N,) triangle ids (clamped to valid for gathering; callers mask
-    by the hit flag). Returns dict with p (N,3), n (N,3), st (N,2).
+    by the hit flag). attr: optional triangle_attribute_table(scene) —
+    pass it in hot loops to turn ~11 gathers into 1.
+    Returns dict with p (N,3), n (N,3), st (N,2).
     All outputs are differentiable w.r.t. scene.vertices/normals.
     """
     t = jnp.maximum(tri, 0)
-    f = scene.faces[t]
-    a = scene.vertices[f[..., 0]]
-    b = scene.vertices[f[..., 1]]
-    c = scene.vertices[f[..., 2]]
+    if attr is None:
+        f = scene.faces[t]
+        a = scene.vertices[f[..., 0]]
+        b = scene.vertices[f[..., 1]]
+        c = scene.vertices[f[..., 2]]
+        n0 = scene.normals[f[..., 0]]
+        n1 = scene.normals[f[..., 1]]
+        n2 = scene.normals[f[..., 2]]
+        uv0 = scene.uvs[f[..., 0]]
+        uv1 = scene.uvs[f[..., 1]]
+        uv2 = scene.uvs[f[..., 2]]
+        smooth = scene.smooth[t]
+        tans = (
+            (scene.tangents[f[..., 0]], scene.tangents[f[..., 1]], scene.tangents[f[..., 2]])
+            if getattr(scene, "has_normal_maps", False)
+            else None
+        )
+    else:
+        row = attr[t]  # (N, D) — the one gather
+        a, b, c = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        n0, n1, n2 = row[..., 9:12], row[..., 12:15], row[..., 15:18]
+        uv0, uv1, uv2 = row[..., 18:20], row[..., 20:22], row[..., 22:24]
+        smooth = row[..., 24] != 0.0
+        tans = (
+            (row[..., 25:28], row[..., 28:31], row[..., 31:34])
+            if getattr(scene, "has_normal_maps", False)
+            else None
+        )
     w = 1.0 - u - v
 
     p = w[..., None] * a + u[..., None] * b + v[..., None] * c
 
     n_geom = normalize(cross(b - a, c - a))
-    n0 = scene.normals[f[..., 0]]
-    n1 = scene.normals[f[..., 1]]
-    n2 = scene.normals[f[..., 2]]
     n_smooth = normalize(w[..., None] * n0 + u[..., None] * n1 + v[..., None] * n2)
-    smooth = scene.smooth[t]
     n = jnp.where(smooth[..., None], n_smooth, n_geom)
 
-    uv0 = scene.uvs[f[..., 0]]
-    uv1 = scene.uvs[f[..., 1]]
-    uv2 = scene.uvs[f[..., 2]]
     st = w[..., None] * uv0 + u[..., None] * uv1 + v[..., None] * uv2
 
     out = {"p": p, "n": n, "ng": n_geom, "st": st}
-    if getattr(scene, "has_normal_maps", False):
-        t0 = scene.tangents[f[..., 0]]
-        t1 = scene.tangents[f[..., 1]]
-        t2 = scene.tangents[f[..., 2]]
+    if tans is not None:
+        t0, t1, t2 = tans
         out["tangent"] = normalize(
             w[..., None] * t0 + u[..., None] * t1 + v[..., None] * t2
         )

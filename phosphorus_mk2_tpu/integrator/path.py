@@ -49,10 +49,15 @@ from phosphorus_mk2_tpu.bsdf.bsdf import (
     env_emission_at,
     gather_lobes,
     is_specular_flags,
+    material_tables,
 )
 from phosphorus_mk2_tpu.core.camera import camera_to_params, generate_rays
-from phosphorus_mk2_tpu.core.lights import sample_lights
-from phosphorus_mk2_tpu.core.shading import apply_normal_map, shading_parameters
+from phosphorus_mk2_tpu.core.lights import light_meta_table, sample_lights
+from phosphorus_mk2_tpu.core.shading import (
+    apply_normal_map,
+    shading_parameters,
+    triangle_attribute_table,
+)
 from phosphorus_mk2_tpu.math import rng
 from phosphorus_mk2_tpu.math.vec import (
     RAY_EPSILON,
@@ -123,6 +128,15 @@ def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False, kind: str
     return intersect_brute, occluded_brute
 
 
+def make_scene_tables(scene) -> dict:
+    """Build the consolidated gather tables used by trace_sample."""
+    return {
+        "attr": triangle_attribute_table(scene),
+        "mat": material_tables(scene),
+        "light": light_meta_table(scene),
+    }
+
+
 def trace_sample(
     scene,
     cam_params,
@@ -136,6 +150,7 @@ def trace_sample(
     film_strata: int = 1,
     mis: bool = False,
     depth_unroll: int = 1,
+    tables: dict | None = None,
 ):
     """Trace one sample per pixel for a wavefront. Returns (radiance (N,3),
     first-hit normal (N,3), first-hit alpha (N,)).
@@ -156,6 +171,16 @@ def trace_sample(
     is exact reference parity."""
     n = pixel_x.shape[0]
     closest, occluded = tracer
+
+    # wide attribute tables: one row-gather per bounce instead of ~25
+    # per-attribute gathers (each gather is a kernel launch; launches
+    # dominate small wavefronts on the axon platform). Built in-jit so
+    # they stay differentiable and XLA hoists them out of the scans.
+    if tables is None:
+        tables = make_scene_tables(scene)
+    attr = tables["attr"]
+    mat_tables = tables["mat"]
+    light_meta = tables["light"]
 
     seed32 = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.uint32)
     pix = (pixel_y.astype(jnp.uint32) << jnp.uint32(16)) | pixel_x.astype(
@@ -185,10 +210,10 @@ def trace_sample(
         hit = hits["hit"] & alive
 
         # differentiable re-evaluation of the hit point
-        t_hit, u, v = reintersect(scene, tri, p, d)
+        t_hit, u, v = reintersect(scene, tri, p, d, attr=attr)
         u = jnp.where(hit, u, 0.0)
         v = jnp.where(hit, v, 0.0)
-        sp = shading_parameters(scene, tri, u, v)
+        sp = shading_parameters(scene, tri, u, v, attr=attr)
         wo_view = -d  # toward the previous vertex (reference flips wi)
         mat = jnp.where(hit, scene.tri_mat[jnp.maximum(tri, 0)], 0)
         sp = apply_normal_map(scene, sp, mat)
@@ -232,7 +257,9 @@ def trace_sample(
             "alpha": jnp.where(first & hit, 1.0, aux["alpha"]),
         }
 
-        lobes = apply_textures(scene, gather_lobes(scene, mat), mat, sp["st"])
+        lobes = apply_textures(
+            scene, gather_lobes(scene, mat, tables=mat_tables), mat, sp["st"]
+        )
         lobes = apply_fresnel(scene, lobes, hn, wo_view)
 
         # per-bounce randomness: two PCG4D evaluations cover light pick /
@@ -242,7 +269,14 @@ def trace_sample(
 
         # 2. next-event estimation
         if nee_enabled:
-            ls = sample_lights(scene, u_light[:, 0], u_light[:, 1], u_light[:, 2])
+            ls = sample_lights(
+                scene,
+                u_light[:, 0],
+                u_light[:, 1],
+                u_light[:, 2],
+                attr=attr,
+                meta=light_meta,
+            )
 
             p_off = offset(hp, hn)
             wi_vec = ls["p"] - p_off
@@ -378,6 +412,8 @@ def render_pass_pixels(
     else:
         pxb, pyb, sub = px, py, None
 
+    tables = make_scene_tables(scene)  # once per pass, shared by samples
+
     def one(carry, s):
         c_sum, n_sum, a_sum = carry
         sidx = sample_offset + s * sb + sub if sb > 1 else sample_offset + s
@@ -393,6 +429,7 @@ def render_pass_pixels(
             film_strata=film_strata,
             mis=mis,
             depth_unroll=depth_unroll,
+            tables=tables,
         )
         if sb > 1:
             r = r.reshape(sb, n, 3).sum(axis=0)
