@@ -196,7 +196,10 @@ def intersect_brute(scene, p, d, tmax=None, chunk: int | None = None):
         )
         return (best_key, best_tri), None
 
-    (_, tri), _ = jax.lax.scan(body, init, (faces, tri_ids, tri_valid))
+    if faces.shape[0] == 1:  # single chunk: skip the loop machinery
+        (_, tri), _ = body(init, (faces[0], tri_ids[0], tri_valid[0]))
+    else:
+        (_, tri), _ = jax.lax.scan(body, init, (faces, tri_ids, tri_valid))
     hit = tri >= 0
     a, b, c = _gather_tri_verts(scene, jnp.maximum(tri, 0))
     t, u, v, _ = mt_intersect(p, d, a, b, c)
@@ -228,7 +231,10 @@ def occluded_brute(scene, p, d, tmax, chunk: int | None = None):
         valid = valid & ok[None, :] & (t < tmax[:, None])
         return hit_any | valid.any(axis=1), None
 
-    hit, _ = jax.lax.scan(body, jnp.zeros((n,), bool), (faces, tri_valid))
+    if faces.shape[0] == 1:  # single chunk: skip the loop machinery
+        hit, _ = body(jnp.zeros((n,), bool), (faces[0], tri_valid[0]))
+    else:
+        hit, _ = jax.lax.scan(body, jnp.zeros((n,), bool), (faces, tri_valid))
     return hit
 
 

@@ -167,9 +167,12 @@ def _sample_any(scene, tex_id, uv):
     return sample_texture(scene.tex_atlas, scene.tex_info, tex_id, uv)
 
 
-def emission_at(scene, mat_id: jnp.ndarray, st: jnp.ndarray) -> jnp.ndarray:
+def emission_at(scene, mat_id: jnp.ndarray, st: jnp.ndarray, tables=None) -> jnp.ndarray:
     """Per-hit emission, texture-modulated when the material has an
-    emission texture."""
+    emission texture. (tables is accepted for signature stability but
+    unused: packing emission into the wide material row made the light
+    side gather a (N, ~90)-column row to read 3 values — measured 13%
+    SLOWER on the bench; the (M, 3) emission gather stays separate.)"""
     e = scene.emission[mat_id]
     if not getattr(scene, "has_textures", False):
         return e

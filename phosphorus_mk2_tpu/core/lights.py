@@ -33,11 +33,18 @@ from phosphorus_mk2_tpu.math.sampling import (
 
 
 def light_meta_table(scene) -> jnp.ndarray:
-    """(NL, 4) packed light metadata rows (type, mat, offset, count) —
-    one gather instead of four in the NEE hot loop (kernel-launch count
-    dominates small wavefronts on the axon platform)."""
+    """(NL, 5) packed light metadata rows (type, mat, offset, count,
+    area-as-int32-bits) — one gather instead of five in the NEE hot loop
+    (kernel-launch count dominates small wavefronts on the axon
+    platform)."""
     return jnp.stack(
-        [scene.light_type, scene.light_mat, scene.light_offset, scene.light_count],
+        [
+            scene.light_type,
+            scene.light_mat,
+            scene.light_offset,
+            scene.light_count,
+            scene.light_area.view(jnp.int32),
+        ],
         axis=-1,
     )
 
@@ -70,12 +77,14 @@ def sample_lights(
         ltype = scene.light_type[light_idx]
         lmat = scene.light_mat[light_idx]
         loffset = scene.light_offset[light_idx]
-        lcount = jnp.maximum(scene.light_count[light_idx], 1)
+        lcount_raw = scene.light_count[light_idx]
+        larea = scene.light_area[light_idx]
     else:
-        row = meta[light_idx]  # (N, 4)
+        row = meta[light_idx]  # (N, 5)
         ltype, lmat, loffset = row[..., 0], row[..., 1], row[..., 2]
-        lcount = jnp.maximum(row[..., 3], 1)
-    larea = scene.light_area[light_idx]
+        lcount_raw = row[..., 3]
+        larea = row[..., 4].view(jnp.float32)
+    lcount = jnp.maximum(lcount_raw, 1)
 
     # area light: uniform triangle pick with sample reuse
     tri_sel, u_rem = remap_index_sample(u_tri, lcount)
@@ -115,7 +124,7 @@ def sample_lights(
     p = jnp.where(is_area[..., None], p_area, p_inf)
     n = jnp.where(is_area[..., None], n_area, 0.0)
     pdf = jnp.where(is_area, pdf_area, pdf_inf) / nl
-    valid = is_area & (scene.light_count[light_idx] > 0)
+    valid = is_area & (lcount_raw > 0)
     st = jnp.where(is_area[..., None], sp["st"], 0.0)
 
     return {"p": p, "n": n, "pdf": pdf, "mat": lmat, "valid": valid, "st": st}

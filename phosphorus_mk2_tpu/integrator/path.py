@@ -219,7 +219,7 @@ def trace_sample(
         sp = apply_normal_map(scene, sp, mat)
         hp, hn = sp["p"], sp["n"]
 
-        e_hit = emission_at(scene, mat, sp["st"])
+        e_hit = emission_at(scene, mat, sp["st"], tables=mat_tables)
 
         # 1. emission at first/specular vertices; env on miss
         emit_mask = hit & ((b == 0) | spec)
@@ -289,7 +289,7 @@ def trace_sample(
             occ = occluded(scene, p_off, wi, jnp.where(valid, dist, 0.0))
 
             f = bsdf_f(lobes, hn, wi, wo_view)
-            light_e = emission_at(scene, ls["mat"], ls["st"])
+            light_e = emission_at(scene, ls["mat"], ls["st"], tables=mat_tables)
             cos_l = jnp.abs(dot(ls["n"], -wi))
             pdf_l = ls["pdf"] * dist * dist / jnp.maximum(cos_l, 1e-20)
             if mis:
