@@ -20,7 +20,8 @@ def main():
     tracer = make_tracer(data, use_bvh=True)
     key = jax.random.key(0)
     fn = jax.jit(functools.partial(render_pass, width=W, height=H,
-                                   max_depth=8, tracer=tracer),
+                                   max_depth=8, tracer=tracer,
+                                   depth_unroll=8, sample_unroll=4),
                  static_argnames=("n_samples",))
     out = fn(data, cam, key, 0, 4)
     jax.block_until_ready(out)
