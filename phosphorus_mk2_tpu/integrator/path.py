@@ -151,6 +151,7 @@ def trace_sample(
     mis: bool = False,
     depth_unroll: int = 1,
     tables: dict | None = None,
+    remat: bool = False,
 ):
     """Trace one sample per pixel for a wavefront. Returns (radiance (N,3),
     first-hit normal (N,3), first-hit alpha (N,)).
@@ -362,8 +363,9 @@ def trace_sample(
         jnp.zeros((n,), jnp.float32),
         aux0,
     )
+    bounce_fn = jax.checkpoint(bounce) if remat else bounce
     (p, d, beta, radiance, alive, spec, _pdf, aux), _ = jax.lax.scan(
-        bounce, carry0, jnp.arange(max_depth), unroll=depth_unroll
+        bounce_fn, carry0, jnp.arange(max_depth), unroll=depth_unroll
     )
     return radiance, aux["normal"], aux["alpha"]
 
@@ -384,6 +386,7 @@ def render_pass_pixels(
     spp_batch: int = 1,
     depth_unroll: int = 1,
     sample_unroll: int = 1,
+    remat: bool = False,
 ):
     """Accumulate ``n_samples`` samples for an arbitrary pixel wavefront.
 
@@ -430,6 +433,7 @@ def render_pass_pixels(
             mis=mis,
             depth_unroll=depth_unroll,
             tables=tables,
+            remat=remat,
         )
         if sb > 1:
             r = r.reshape(sb, n, 3).sum(axis=0)
@@ -464,6 +468,7 @@ def render_pass(
     spp_batch: int = 1,
     depth_unroll: int = 1,
     sample_unroll: int = 1,
+    remat: bool = False,
 ):
     """Accumulate ``n_samples`` samples for the full frame. Jittable."""
     n = width * height
@@ -485,6 +490,7 @@ def render_pass(
         spp_batch=spp_batch,
         depth_unroll=depth_unroll,
         sample_unroll=sample_unroll,
+        remat=remat,
     )
 
 

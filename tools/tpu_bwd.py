@@ -37,41 +37,42 @@ def main():
 
     target = jnp.zeros((W * H, 3), jnp.float32)
 
-    def loss_fn(params, scene_data):
-        sd = dataclasses.replace(scene_data, **params)
-        out = render_pass(
-            sd, cam, key, 0, SPP,
-            width=W, height=H, max_depth=DEPTH, tracer=tracer,
-            depth_unroll=DEPTH,
-        )
-        return jnp.mean((out["color"] / SPP - target) ** 2)
-
     params = {
         "emission": data.emission,
         "lobe_weight": data.lobe_weight,
         "vertices": data.vertices,
     }
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    rays = W * H * SPP * DEPTH * 2
+    for remat in (False, True):
+        def loss_fn(params, scene_data, remat=remat):
+            sd = dataclasses.replace(scene_data, **params)
+            out = render_pass(
+                sd, cam, key, 0, SPP,
+                width=W, height=H, max_depth=DEPTH, tracer=tracer,
+                depth_unroll=DEPTH, remat=remat,
+            )
+            return jnp.mean((out["color"] / SPP - target) ** 2)
 
-    t0 = time.time()
-    loss, grads = grad_fn(params, data)
-    jax.block_until_ready(grads)
-    print(f"compile+run {time.time()-t0:.1f}s, loss {float(loss):.5f}")
-    best = 1e9
-    for _ in range(3):
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
         t0 = time.time()
         loss, grads = grad_fn(params, data)
         jax.block_until_ready(grads)
-        best = min(best, time.time() - t0)
-    rays = W * H * SPP * DEPTH * 2
-    print(
-        f"fwd+bwd: {best*1e3:.1f} ms for {SPP} spp depth {DEPTH} "
-        f"-> {rays/best/1e6:.2f} Mrays/s (fwd+bwd)"
-    )
-    for k, g in grads.items():
-        g = np.asarray(g)
-        assert np.isfinite(g).all(), k
-        print(f"  grad[{k}]: |g|max {np.abs(g).max():.3e}")
+        print(f"remat={remat}: compile+run {time.time()-t0:.1f}s, "
+              f"loss {float(loss):.5f}", flush=True)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            loss, grads = grad_fn(params, data)
+            jax.block_until_ready(grads)
+            best = min(best, time.time() - t0)
+        print(
+            f"remat={remat}: fwd+bwd {best*1e3:.1f} ms for {SPP} spp depth "
+            f"{DEPTH} -> {rays/best/1e6:.2f} Mrays/s (fwd+bwd)", flush=True
+        )
+        for k, g in grads.items():
+            g = np.asarray(g)
+            assert np.isfinite(g).all(), k
+            print(f"  grad[{k}]: |g|max {np.abs(g).max():.3e}")
 
 
 if __name__ == "__main__":
