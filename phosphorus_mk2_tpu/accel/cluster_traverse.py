@@ -67,7 +67,8 @@ def _mt_rows(p, d, rows, best, live):
     """Dense per-ray MT against each ray's own cluster row.
 
     p, d: (N, 3); rows: (N, 10, C); best: (t, tri, u, v) each (N,).
-    live: (N,) mask — dead rays keep their records.
+    live: (N,) ray mask, or (N, C) per-candidate mask (wave batching) —
+    dead rays/candidates keep their records.
     """
     px, py, pz = p[:, 0:1], p[:, 1:2], p[:, 2:3]
     dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
@@ -101,7 +102,7 @@ def _mt_rows(p, d, rows, best, live):
         & (u + v <= 1.0)
         & (t >= 0.0)
         & (t < best_t[:, None])
-        & live[:, None]
+        & (live[:, None] if live.ndim == 1 else live)
     )
     t_m = jnp.where(ok, t, T_MAX)
     j = jnp.argmin(t_m, axis=1)
@@ -161,7 +162,9 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk):
 
     # collect ALL candidate member clusters first (scan, (N, jj*SC)),
     # then a SINGLE top-k — a per-iteration top-k merge measures 30x
-    # slower on TPU (tools/tpu_terrain2.py: 1.16 s of a 1.21 s trace)
+    # slower on TPU (tools/tpu_terrain2.py: 1.16 s of a 1.21 s trace).
+    # (Batching several superclusters per scan step measured NEUTRAL —
+    # the slab math/top_k dominate, not the iteration count.)
     def expand(_, j):
         sc_j = sctbl[:, j]
         live = sc_ttbl[:, j] < T_MAX
@@ -243,6 +246,12 @@ def _trace(scene, p, d, t_limit, any_hit):
 
     CH = min(8192, n)
     n_chunks_cap = (n + CH - 1) // CH
+    # waves per while-iteration. Measured on the 1M-tri terrain: WW=4
+    # is SLOWER (137 vs 117 ms) — at mean overlap ~2.6 the 4x masked
+    # extra row-gather work beats the iteration savings. WW=1 keeps the
+    # generalized path (results are WW-invariant: same candidate set,
+    # min-reduction).
+    WW = 1
 
     state0 = (
         s_limit,
@@ -259,6 +268,9 @@ def _trace(scene, p, d, t_limit, any_hit):
         w, _, best = carry
         a_w = jax.lax.dynamic_index_in_dim(alive_at, w, keepdims=False)
 
+        w_eff = jnp.minimum(w, kk - WW)  # clamp: re-tested columns are
+        # duplicates the min-reduction ignores
+
         def chunk(ci, best):
             sbt, sbtri, sbu, sbv = best
             start = jnp.minimum(ci * CH, n - CH)
@@ -267,23 +279,26 @@ def _trace(scene, p, d, t_limit, any_hit):
                 return jax.lax.dynamic_slice_in_dim(x, start, CH)
 
             def sl2(x):
-                return jax.lax.dynamic_slice(
-                    x, (start, w), (CH, 1)
-                )[:, 0]
+                return jax.lax.dynamic_slice(x, (start, w_eff), (CH, WW))
 
-            c = sl2(s_ctbl)
-            tn_c = sl2(s_ttbl)
+            c = sl2(s_ctbl)          # (CH, WW)
+            tn_c = sl2(s_ttbl)       # (CH, WW)
             cur = (sl(sbt), sl(sbtri), sl(sbu), sl(sbv))
-            live = (tn_c < cur[0]) & (tn_c < T_MAX)
+            live = (tn_c < cur[0][:, None]) & (tn_c < T_MAX)
             if any_hit:
-                live = live & (cur[1] < 0)
-            rows = rows_tbl[jnp.where(live, c, 0)]  # (CH, 10, C)
+                live = live & (cur[1] < 0)[:, None]
+            rows = rows_tbl[jnp.where(live, c, 0)]  # (CH, WW, 10, C)
+            C = rows.shape[-1]
+            rows = rows.transpose(0, 2, 1, 3).reshape(CH, 10, WW * C)
+            live_el = jnp.broadcast_to(
+                live[:, :, None], (CH, WW, C)
+            ).reshape(CH, WW * C)
             new = _mt_rows(
                 jnp.stack([sl(sp_p[:, 0]), sl(sp_p[:, 1]), sl(sp_p[:, 2])], 1),
                 jnp.stack([sl(sp_d[:, 0]), sl(sp_d[:, 1]), sl(sp_d[:, 2])], 1),
                 rows,
                 cur,
-                live,
+                live_el,
             )
             return tuple(
                 jax.lax.dynamic_update_slice_in_dim(full, nv, start, 0)
@@ -292,7 +307,7 @@ def _trace(scene, p, d, t_limit, any_hit):
 
         n_ch = jnp.minimum((a_w + CH - 1) // CH, n_chunks_cap)
         best = jax.lax.fori_loop(0, n_ch, chunk, best)
-        w = w + 1
+        w = w + WW
         go = w < kk
         go = go & (jax.lax.dynamic_index_in_dim(
             alive_at, jnp.minimum(w, kk - 1), keepdims=False
