@@ -110,3 +110,39 @@ def test_reintersect_gradients_flow():
     g = jax.grad(loss)(scene.vertices)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_packed_key_near_coplanar_ties():
+    """The packed-key closest tracker quantizes t to its cleared low
+    mantissa bits (2^-15 relative at 512-wide chunks): for two hits
+    separated by more than that, the strictly closer one must win; at
+    exact ties the pick is deterministic (lowest lane)."""
+    import jax.numpy as jnp
+
+    from phosphorus_mk2_tpu.accel.intersect import intersect_brute
+
+    class Soup:
+        pass
+
+    # two parallel unit triangles along +z at t=1.0 and t=1.001 (well
+    # above the quantization), plus an exact-tie duplicate of the first
+    verts = []
+    faces = []
+    for i, z in enumerate((1.0, 1.001, 1.0)):
+        verts += [[-1, -1, z], [3, -1, z], [-1, 3, z]]
+        faces.append([3 * i, 3 * i + 1, 3 * i + 2])
+    scene = Soup()
+    scene.vertices = jnp.asarray(verts, jnp.float32)
+    scene.faces = jnp.asarray(faces, jnp.int32)
+
+    p = jnp.zeros((8, 3), jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (8, 1))
+    out = intersect_brute(scene, p, d)
+    # closer plane wins; the t=1.0 exact tie resolves to the lowest id
+    assert int(out["tri"][0]) == 0
+    np.testing.assert_allclose(np.asarray(out["t"]), 1.0, rtol=1e-6)
+    assert bool(out["hit"].all())
+
+    # tmax below the hit excludes it
+    out2 = intersect_brute(scene, p, d, tmax=jnp.full((8,), 0.5))
+    assert not bool(out2["hit"].any())
