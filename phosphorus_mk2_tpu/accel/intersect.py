@@ -182,6 +182,12 @@ def intersect_brute(scene, p, d, tmax=None, chunk: int | None = None):
         f, ids, ok = chunk_data
         a, e0, e1 = _soa_tris(verts, f)
         t, u, v, valid = mt_intersect_soa(rp, rd, a, e0, e1)  # (N, C)
+        if tmax is not None:
+            # strict bound: without this, a hit with exact t up to
+            # ~2^-15 relative beyond tmax could slip past the
+            # mantissa-cleared key comparison against key0's
+            # saturated lane bits
+            valid = valid & (t < tmax[:, None])
         keys = jnp.where(
             valid & ok[None, :],
             (t.view(jnp.uint32) & ~lane_mask) | lanes,

@@ -183,6 +183,105 @@ def intersect_pallas_brute(scene, p, d, tmax=None, interpret: bool = False):
     return {"t": t, "tri": tri, "u": u, "v": v, "hit": tri >= 0}
 
 
+def _anyhit_kernel(tri_ref, p_ref, d_ref, tmax_ref, occ_ref, *, n_tri_chunks):
+    """Any-hit over one ray tile: no closest tracking, no argmin
+    extraction — just an OR-reduce of valid hits with t < tmax, with a
+    tile-level early-out once every ray in the tile is occluded (the
+    point of shadow rays, reference stream_bvh_kernel.cpp:61)."""
+    px = p_ref[:, 0:1]
+    py = p_ref[:, 1:2]
+    pz = p_ref[:, 2:3]
+    dx = d_ref[:, 0:1]
+    dy = d_ref[:, 1:2]
+    dz = d_ref[:, 2:3]
+    tmax = tmax_ref[:, 0:1]
+
+    def cond(carry):
+        ci, occ = carry
+        return (ci < n_tri_chunks) & ~jnp.all(occ)
+
+    def body(carry):
+        ci, occ = carry
+        base = ci * TRI_TILE
+        rows = tri_ref[:, pl.ds(base, TRI_TILE)]  # (10, TRI_TILE)
+        ax = rows[0:1, :]
+        ay = rows[1:2, :]
+        az = rows[2:3, :]
+        e0x = rows[3:4, :]
+        e0y = rows[4:5, :]
+        e0z = rows[5:6, :]
+        e1x = rows[6:7, :]
+        e1y = rows[7:8, :]
+        e1z = rows[8:9, :]
+        ids = rows[9:10, :]
+
+        pvx = dy * e1z - dz * e1y
+        pvy = dz * e1x - dx * e1z
+        pvz = dx * e1y - dy * e1x
+        det = e0x * pvx + e0y * pvy + e0z * pvz
+        near0 = jnp.abs(det) < 1e-8
+        ood = 1.0 / jnp.where(near0, 1.0, det)
+        tx = px - ax
+        ty = py - ay
+        tz = pz - az
+        u = (tx * pvx + ty * pvy + tz * pvz) * ood
+        qvx = ty * e0z - tz * e0y
+        qvy = tz * e0x - tx * e0z
+        qvz = tx * e0y - ty * e0x
+        v = (dx * qvx + dy * qvy + dz * qvz) * ood
+        t = (e1x * qvx + e1y * qvy + e1z * qvz) * ood
+        ok = (
+            (~near0)
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t >= 0.0)
+            & (t < tmax)
+            & (ids >= 0.0)
+        )
+        return ci + 1, occ | jnp.any(ok, axis=1, keepdims=True)
+
+    _, occ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((RAY_TILE, 1), bool))
+    )
+    occ_ref[:, :] = occ.astype(jnp.int32)
+
+
 def occluded_pallas_brute(scene, p, d, tmax, interpret: bool = False):
-    res = intersect_pallas_brute(scene, p, d, tmax, interpret=interpret)
-    return res["hit"] & (res["t"] < tmax) & (tmax > 0.0)
+    """Shadow-ray any-hit via a dedicated Pallas kernel (NOT the
+    closest-hit kernel + mask): skips the per-chunk argmin extraction
+    and early-outs whole ray tiles once fully occluded."""
+    rows = _tri_rows(scene)
+    n_chunks = rows.shape[1] // TRI_TILE
+
+    n = p.shape[0]
+    pad = (-n) % RAY_TILE
+    pp = jnp.pad(p, ((0, pad), (0, 0)))
+    dd = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    # padded rays get tmax=0: never occluded, never extend the loop
+    tm = jnp.pad(jnp.asarray(tmax, jnp.float32)[:, None], ((0, pad), (0, 0)))
+    n_tiles = pp.shape[0] // RAY_TILE
+
+    kernel = functools.partial(_anyhit_kernel, n_tri_chunks=n_chunks)
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (10, rows.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((RAY_TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (RAY_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    occ = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((pp.shape[0], 1), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rows, pp, dd, tm)
+    return (occ[:n, 0] > 0) & (jnp.asarray(tmax) > 0.0)

@@ -139,12 +139,11 @@ def _traverse_one(bvh, a, e0, e1, p, d, t0, any_hit: bool):
     return t, tri, u, v
 
 
-def intersect_bvh(scene, p, d, tmax=None, use_pallas: bool = False):
-    """Closest-hit via BVH. Same contract as intersect_brute."""
-    if use_pallas:
-        from phosphorus_mk2_tpu.accel.pallas_traverse import intersect_pallas
+def intersect_bvh(scene, p, d, tmax=None):
+    """Closest-hit via BVH. Same contract as intersect_brute.
 
-        return intersect_pallas(scene, p, d, tmax)
+    The Pallas traversal path lives in accel/pallas_wave.py (fused
+    wave kernel); this per-ray-stack version is the jnp oracle."""
     a, e0, e1 = _tri_data(scene)
     n = p.shape[0]
     t0 = jnp.full((n,), T_MAX) if tmax is None else tmax
@@ -154,13 +153,9 @@ def intersect_bvh(scene, p, d, tmax=None, use_pallas: bool = False):
     return {"t": t, "tri": tri, "u": u, "v": v, "hit": tri >= 0}
 
 
-def occluded_bvh(scene, p, d, tmax, use_pallas: bool = False):
+def occluded_bvh(scene, p, d, tmax):
     """Any-hit shadow query (early-out, reference
     stream_bvh_kernel.cpp:61)."""
-    if use_pallas:
-        from phosphorus_mk2_tpu.accel.pallas_traverse import occluded_pallas
-
-        return occluded_pallas(scene, p, d, tmax)
     a, e0, e1 = _tri_data(scene)
     _, tri, _, _ = jax.vmap(
         lambda pp, dd, tt: _traverse_one(scene.bvh, a, e0, e1, pp, dd, tt, True)

@@ -44,6 +44,21 @@ def build_parser() -> argparse.ArgumentParser:
         "reference, which has none; drops its (e*4) NEE factor)",
     )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--spp-batch", type=int, default=1,
+        help="samples folded into one wavefront (bigger waves amortize "
+        "the per-launch floor; costs HBM)",
+    )
+    p.add_argument(
+        "--depth-unroll", type=int, default=0,
+        help="bounce-scan unroll; 0 = auto (full unroll for depth <= 8)",
+    )
+    p.add_argument(
+        "--sample-unroll", type=int, default=0,
+        help="sample-scan unroll; 0 = auto",
+    )
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint the bounce body (memory vs recompute)")
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--png", default=None, help="also write a tonemapped PNG")
@@ -108,6 +123,10 @@ def main(argv=None) -> int:
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
+        spp_batch=args.spp_batch,
+        depth_unroll=args.depth_unroll,
+        sample_unroll=args.sample_unroll,
+        remat=args.remat,
     )
 
     n_devices = 1 if args.single else None

@@ -57,8 +57,11 @@ LOBE_FLAGS = {
     TRANSPARENT: FLAG_TRANSMIT | FLAG_SPECULAR,
 }
 
-MAX_LOBES = 4   # the reference allows 8 (src/bsdf.hpp:9); 4 covers its
-                # entire shader library and keeps the dense eval cheap
+MAX_LOBES = 8   # matches the reference's 8-lobe container (src/bsdf.hpp:9);
+                # eval cost does NOT scale with this: gather_lobes slices
+                # to the scene's max_lobes_used (bsdf/bsdf.py:92), so a
+                # two-Glass add_node (2+2 lobes) plus extras packs fine
+                # while all-diffuse scenes still eval one slot
 NUM_PARAMS = 6  # per-lobe parameter slots; [4] = fresnel mode
                 # (0 none, 1 weight by F, 2 weight by 1-F), [5] = fresnel
                 # ior — realizes the reference Glass expansion's

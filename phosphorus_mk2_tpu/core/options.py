@@ -29,3 +29,13 @@ class Options:
     max_wavefront: int = 1 << 20   # pixels per device pass; larger frames
                                    # render in sequential wavefront chunks
                                    # (bounds HBM for 4K-class frames)
+    # scan/launch tuning (the axon TPU platform has a ~0.78 ms floor per
+    # kernel launch/scan iteration; unrolling is how the bench reached
+    # 36 Mrays/s — these flow through Renderer/make_sharded_render so
+    # production renders run the tuned configuration):
+    depth_unroll: int = 0          # bounce-scan unroll; 0 = auto
+                                   # (full unroll when max_depth <= 8)
+    sample_unroll: int = 0         # sample-scan unroll; 0 = auto
+                                   # (4 when samples_per_pass % 4 == 0)
+    spp_batch: int = 1             # samples folded into one wavefront
+    remat: bool = False            # jax.checkpoint the bounce body (grad)

@@ -217,6 +217,8 @@ def trace_sample(
         sp = shading_parameters(scene, tri, u, v, attr=attr)
         wo_view = -d  # toward the previous vertex (reference flips wi)
         mat = jnp.where(hit, scene.tri_mat[jnp.maximum(tri, 0)], 0)
+        n_interp = sp["n"]  # pre-normal-map interpolated normal: the
+        # cosine convention sample_lights uses on the NEE side
         sp = apply_normal_map(scene, sp, mat)
         hp, hn = sp["p"], sp["n"]
 
@@ -231,8 +233,12 @@ def trace_sample(
             # the mixture pdf of the direction that produced this hit;
             # the competing strategy is NEE with solid-angle pdf
             # tri_light_pdf * d^2 / |cos| (zero off lights).
+            # cos from the un-perturbed interpolated normal so both
+            # sides of the balance pair share the NEE side's cosine
+            # convention (sample_lights interpolates without the normal
+            # map); weights then sum to 1 on normal-mapped emitters
             dist = jax.lax.stop_gradient(t_hit)
-            cos_h = jnp.abs(dot(hn, d))
+            cos_h = jnp.abs(dot(n_interp, d))
             pdf_nee_sa = (
                 scene.tri_light_pdf[jnp.maximum(tri, 0)]
                 * dist

@@ -72,11 +72,23 @@ def make_sharded_render(
     use_pallas: bool = False,
     donate: bool = False,
     film_strata: int = 1,
+    mis: bool = False,
+    spp_batch: int = 1,
+    depth_unroll: int = 1,
+    sample_unroll: int = 1,
+    remat: bool = False,
 ):
     """Build a jitted SPMD render-pass function.
 
-    Returns (fn, px, py) where fn(scene, key, sample_offset, n_samples)
-    -> dict of per-pixel sums sharded over the wave axis.
+    The performance knobs (depth_unroll/sample_unroll: scan unrolling
+    against the per-launch floor; spp_batch: samples folded into the
+    wavefront; remat: trade recompute for memory under grad) and the mis
+    flag are honored HERE — the production path renders exactly the
+    configuration the CLI/bench tuned (a round-1 gap: --mis was silently
+    dropped and CLI renders ran the slow un-unrolled scans).
+
+    Returns (fn, px, py, n_valid) where fn(scene, key, sample_offset,
+    n_samples) -> dict of per-pixel sums sharded over the wave axis.
     """
     cam_params = camera_to_params(camera)
     tracer = make_tracer(scene, use_bvh, use_pallas)
@@ -101,6 +113,11 @@ def make_sharded_render(
             max_depth=max_depth,
             tracer=tracer,
             film_strata=film_strata,
+            mis=mis,
+            spp_batch=spp_batch,
+            depth_unroll=depth_unroll,
+            sample_unroll=sample_unroll,
+            remat=remat,
         )
 
     return fn, px, py, n_valid

@@ -41,14 +41,29 @@ class Renderer:
         self.mesh = make_wave_mesh(n_devices)
         import math
 
+        o = self.options
+        # auto-resolve the launch-floor tuning knobs (same policy as
+        # integrator.render_aovs, measured in tools/tpu_unroll.py)
+        per_pass = max(1, min(o.samples_per_pass, o.samples_per_pixel))
+        depth_unroll = o.depth_unroll or (
+            o.path_depth if o.path_depth <= 8 else 1
+        )
+        sample_unroll = o.sample_unroll or (
+            4 if (per_pass // max(1, o.spp_batch)) % 4 == 0 else 1
+        )
         self.fn, self.px, self.py, self.n_valid = make_sharded_render(
             self.mesh,
             self.data,
             scene.camera,
-            max_depth=self.options.path_depth,
-            use_bvh=self.options.use_bvh,
-            use_pallas=self.options.use_pallas,
-            film_strata=max(1, round(math.sqrt(self.options.samples_per_pixel))),
+            max_depth=o.path_depth,
+            use_bvh=o.use_bvh,
+            use_pallas=o.use_pallas,
+            film_strata=max(1, round(math.sqrt(o.samples_per_pixel))),
+            mis=o.mis,
+            spp_batch=o.spp_batch,
+            depth_unroll=depth_unroll,
+            sample_unroll=sample_unroll,
+            remat=o.remat,
         )
         self.key = jax.random.key(self.options.seed)
 
@@ -116,19 +131,45 @@ class Renderer:
     def _ckpt_path(self) -> str:
         return os.path.join(self.options.checkpoint_dir, "film_checkpoint.npz")
 
+    def _ckpt_stamp(self) -> dict:
+        """Identity of the render this film belongs to. A resume whose
+        stamp differs would silently blend incompatible films — the
+        failure the reference cannot even have (it has no checkpoints,
+        SURVEY.md §5.4) but a progressive renderer must refuse."""
+        import hashlib
+
+        h = hashlib.sha1()
+        for a in (
+            self.data.vertices,
+            self.data.faces,
+            self.data.emission,
+            self.data.lobe_weight,
+            self.data.lobe_param,
+        ):
+            h.update(np.asarray(a).tobytes())
+        o = self.options
+        return {
+            "scene_hash": h.hexdigest(),
+            "width": self.scene.camera.width,
+            "height": self.scene.camera.height,
+            "spp_target": o.samples_per_pixel,
+            "max_depth": o.path_depth,
+            "mis": int(o.mis),
+            "seed": o.seed,
+        }
+
     def _save_checkpoint(self, sums, done: int) -> None:
         os.makedirs(self.options.checkpoint_dir, exist_ok=True)
-        tmp = self._ckpt_path() + ".tmp"
+        tmp = self._ckpt_path()[: -len(".npz")] + "_tmp"
         np.savez(
-            tmp if not tmp.endswith(".npz") else tmp[: -len(".npz")] + "_tmp",
+            tmp,
             color=np.asarray(sums["color"]),
             normal=np.asarray(sums["normal"]),
             alpha=np.asarray(sums["alpha"]),
             done=done,
-            seed=self.options.seed,
+            **self._ckpt_stamp(),
         )
-        src = (tmp if not tmp.endswith(".npz") else tmp[: -len(".npz")] + "_tmp") + ".npz"
-        os.replace(src, self._ckpt_path())
+        os.replace(tmp + ".npz", self._ckpt_path())
 
     def _load_checkpoint(self):
         if not self.options.checkpoint_dir:
@@ -137,8 +178,24 @@ class Renderer:
         if not os.path.exists(path):
             return None, 0
         ck = np.load(path)
-        if int(ck["seed"]) != self.options.seed:
-            return None, 0
+        stamp = self._ckpt_stamp()
+        legacy = [k for k in stamp if k not in ck]  # pre-stamp checkpoint
+        if legacy:
+            raise RuntimeError(
+                f"checkpoint {path} lacks identity fields {legacy}; "
+                "delete it to start fresh"
+            )
+        bad = {
+            k: (str(ck[k]), str(v))
+            for k, v in stamp.items()
+            if str(ck[k]) != str(v)
+        }
+        if bad:
+            raise RuntimeError(
+                f"checkpoint {path} was written by a different render "
+                f"(mismatched {bad}); delete it or restore the original "
+                "scene/options to resume"
+            )
         import jax.numpy as jnp
 
         sums = {

@@ -184,3 +184,40 @@ def test_sorted_dispatch_matches_dense():
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(wo1), np.asarray(wo2), rtol=1e-2, atol=1e-4)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-2, atol=1e-4)
+
+
+def test_eight_lobe_material_packs_and_renders():
+    """MAX_LOBES matches the reference's 8-lobe container (src/bsdf.hpp):
+    two Glass expansions (2+2 lobes) plus a diffuse pack and render —
+    the exact case that overflowed the round-1 4-lobe cap."""
+    import jax
+    import numpy as np
+
+    from phosphorus_mk2_tpu.core.material import DIFFUSE, Lobe, Material
+    from phosphorus_mk2_tpu.core.camera import camera_to_params
+    from phosphorus_mk2_tpu.integrator.path import make_tracer, render_pass
+    from phosphorus_mk2_tpu.scenes import sphere_in_box
+
+    scene = sphere_in_box(width=8, height=8)
+    g1 = Material.glass(ior=1.45, roughness=0.2)
+    g2 = Material.glass(color=(0.9, 0.8, 0.7), ior=1.1, roughness=0.4)
+    mat = Material(
+        name="stack",
+        lobes=g1.lobes + g2.lobes + [Lobe(DIFFUSE, (0.2, 0.2, 0.2))],
+    )
+    assert len(mat.lobes) == 5
+    sid = scene.add_material(mat)
+    # reassign the sphere (mesh 0) to the 5-lobe stack
+    scene.meshes[0].material = sid
+    data = scene.build()
+    assert data.max_lobes_used == 5
+
+    cam = camera_to_params(scene.camera)
+    tracer = make_tracer(data, use_bvh=False)
+    out = render_pass(
+        data, cam, jax.random.key(0), 0, 2,
+        width=8, height=8, max_depth=3, tracer=tracer,
+    )
+    img = np.asarray(out["color"])
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0

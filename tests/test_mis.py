@@ -161,13 +161,20 @@ def test_mis_matches_nee_global_illumination():
 
 def test_mis_off_bit_identical():
     """mis=False must stay bit-identical to the pre-MIS integrator (the
-    MIS code is Python-gated, not traced)."""
+    MIS code is Python-gated, not traced): compared against a stored
+    golden frozen when the non-MIS path was validated — a true
+    regression anchor, not just run-to-run determinism."""
+    import os
+
     res = 16
     scene = hidden_light_scene(res=res)
     data = scene.build()
     a = _render(scene, data, spp=4, depth=3, mis=False, res=res)
-    b = _render(scene, data, spp=4, depth=3, mis=False, res=res)
-    np.testing.assert_array_equal(a, b)
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "mis_off_hidden_light_16.npz"
+    )
+    golden = np.load(golden_path)["color"]
+    np.testing.assert_array_equal(np.asarray(a), golden)
     assert np.isfinite(a).all() and a.max() > 0.0
 
 

@@ -36,3 +36,37 @@ def test_checkpoint_resume_identical(tmp_path):
     resumed = r2.render()
 
     np.testing.assert_allclose(resumed["color"], full["color"], atol=1e-6)
+
+
+def test_checkpoint_refuses_mismatched_resume(tmp_path):
+    """A checkpoint stamped by one render must not blend into another:
+    resuming with a changed scene, resolution, or spp target fails
+    loudly instead of silently mixing films (VERDICT weak #7)."""
+    import pytest
+
+    ck = str(tmp_path / "ck")
+    base = dict(
+        samples_per_pixel=4, samples_per_pass=2, path_depth=2, use_bvh=False,
+        checkpoint_dir=ck, checkpoint_every=1,
+    )
+    scene = sphere_in_box(width=12, height=12)
+    r1 = Renderer(scene, Options(**base))
+    next(r1.passes())  # writes a checkpoint
+
+    # changed spp target
+    with pytest.raises(RuntimeError, match="different render"):
+        Renderer(scene, Options(**{**base, "samples_per_pixel": 8})).render()
+
+    # changed resolution
+    with pytest.raises(RuntimeError, match="different render"):
+        Renderer(sphere_in_box(width=16, height=16), Options(**base)).render()
+
+    # changed scene geometry
+    other = sphere_in_box(width=12, height=12)
+    other.meshes[0].vertices = other.meshes[0].vertices * 1.01
+    with pytest.raises(RuntimeError, match="different render"):
+        Renderer(other, Options(**base)).render()
+
+    # unchanged: resumes cleanly
+    resumed = Renderer(scene, Options(**base)).render()
+    assert np.isfinite(resumed["color"]).all()
