@@ -13,6 +13,15 @@ import numpy as np
 
 @dataclasses.dataclass
 class Mesh:
+    """Attributes come in two scopes, like the reference's per-vertex vs
+    per-face-vertex modes (reference src/mesh.hpp:20-26, mesh.cpp:169-258):
+    per-vertex arrays (normals/uvs indexed by ``faces``) or per-corner
+    arrays (``corner_normals``/``corner_uvs``, one value per face-vertex —
+    split normals on hard edges, uv seams). The device scene is always
+    per-vertex: ``resolve_corners()`` re-indexes so each distinct
+    (position, normal, uv) corner becomes its own vertex, which
+    Scene.build applies automatically."""
+
     vertices: np.ndarray                   # (V, 3) float32
     faces: np.ndarray                      # (F, 3) int32 vertex indices
     material: object = None                # material name (str), id (int),
@@ -22,6 +31,8 @@ class Mesh:
     tangents: np.ndarray | None = None     # (V, 3) per-vertex (normal maps)
     smooth: object = True                  # bool or (F,) bool
     name: str = ""
+    corner_normals: np.ndarray | None = None  # (F, 3, 3) per-face-vertex
+    corner_uvs: np.ndarray | None = None      # (F, 3, 2) per-face-vertex
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, np.float32)
@@ -32,6 +43,70 @@ class Mesh:
             self.uvs = np.ascontiguousarray(self.uvs, np.float32)
         if self.tangents is not None:
             self.tangents = np.ascontiguousarray(self.tangents, np.float32)
+        f = self.faces.shape[0]
+        if self.corner_normals is not None:
+            self.corner_normals = np.ascontiguousarray(
+                self.corner_normals, np.float32
+            ).reshape(f, 3, 3)
+        if self.corner_uvs is not None:
+            self.corner_uvs = np.ascontiguousarray(
+                self.corner_uvs, np.float32
+            ).reshape(f, 3, 2)
+
+    def resolve_corners(self) -> "Mesh":
+        """Fold per-corner attributes into per-vertex arrays by splitting
+        vertices at attribute discontinuities (the same re-indexing
+        io/obj.load_obj applies to OBJ's independent v/vt/vn indices).
+        Identity when no corner attributes are present."""
+        if self.corner_normals is None and self.corner_uvs is None:
+            return self
+        f = self.num_faces
+        vid = self.faces.reshape(-1).astype(np.int64)  # (F*3,)
+
+        if self.corner_normals is not None:
+            n = self.corner_normals.reshape(-1, 3)
+        elif self.normals is not None:
+            n = self.normals[vid]
+        else:
+            n = np.zeros((f * 3, 3), np.float32)
+        if self.corner_uvs is not None:
+            uv = self.corner_uvs.reshape(-1, 2)
+        elif self.uvs is not None:
+            uv = self.uvs[vid]
+        else:
+            uv = np.zeros((f * 3, 2), np.float32)
+
+        # dedup corners on exact bit patterns (vertex id + attr words)
+        key = np.concatenate(
+            [
+                vid[:, None],
+                n.view(np.uint32).astype(np.int64),
+                uv.view(np.uint32).astype(np.int64),
+            ],
+            axis=1,
+        )
+        uniq, inverse = np.unique(key, axis=0, return_index=False,
+                                  return_inverse=True)
+        # representative corner per unique row (first occurrence order is
+        # irrelevant — any corner with the same key carries the same data)
+        rep = np.zeros(uniq.shape[0], np.int64)
+        rep[inverse] = np.arange(f * 3)
+
+        out = Mesh(
+            vertices=self.vertices[vid[rep]],
+            faces=inverse.reshape(f, 3).astype(np.int32),
+            material=self.material,
+            normals=n[rep] if (
+                self.corner_normals is not None or self.normals is not None
+            ) else None,
+            uvs=uv[rep] if (
+                self.corner_uvs is not None or self.uvs is not None
+            ) else None,
+            tangents=self.tangents[vid[rep]] if self.tangents is not None else None,
+            smooth=self.smooth,
+            name=self.name,
+        )
+        return out
 
     @property
     def num_faces(self) -> int:

@@ -198,6 +198,11 @@ class Scene:
         tri_mat, tri_mesh = [], []
         v_off = 0
         for mi, mesh in enumerate(self.meshes):
+            # fold per-face-vertex (corner) attributes into split
+            # vertices — the device scene is always per-vertex
+            # (reference per-vertex vs per-face-vertex modes,
+            # src/mesh.hpp:20-26)
+            mesh = mesh.resolve_corners()
             if needs_tangents and mesh.tangents is None and mesh.uvs is not None:
                 # auto tangents for normal-mapped scenes (the reference
                 # generates MikkTSpace tangents only when a material asks
@@ -232,10 +237,15 @@ class Scene:
         tri_mat_arr = np.concatenate(tri_mat)
         tri_mesh_arr = np.concatenate(tri_mesh)
 
-        # area lights from emissive face sets
+        # area lights from emissive face sets. tri_light_pdf (the NEE
+        # area pdf used by MIS weighting of BSDF-sampled light hits) is
+        # assigned here, inside the loop where sel/area are in scope —
+        # NEE picks a light uniformly (pdf / num_lights, divided below)
+        # and a point with area pdf 1/total_area (core/lights.py)
         light_rows = []
         light_tris: list[np.ndarray] = []
         tri_areas = _tri_areas(vertices, faces_arr)
+        tri_light_pdf = np.zeros((faces_arr.shape[0],), np.float32)
         for mid, mat in enumerate(self.materials):
             if not mat.is_emitter or (self.environment == mid):
                 continue
@@ -247,6 +257,8 @@ class Scene:
                 (LIGHT_AREA, mid, sum(t.size for t in light_tris), sel.size, area)
             )
             light_tris.append(sel.astype(np.int32))
+            if area > 0.0:
+                tri_light_pdf[sel] = 1.0 / area
         if self.environment is not None:
             light_rows.append(
                 (LIGHT_INFINITE, self.environment, 0, 0, 0.0)
@@ -261,17 +273,10 @@ class Scene:
         if not light_tris:
             light_tris.append(np.zeros((1,), np.int32))
 
-        # per-triangle NEE pdf (for MIS weighting of BSDF-sampled light
-        # hits): NEE picks a light uniformly (pdf / num_lights) and a
-        # point with area pdf 1/total_area (core/lights.py), so any point
-        # on an area light has pdf 1/(num_lights * light_total_area)
-        tri_light_pdf = np.zeros((faces_arr.shape[0],), np.float32)
+        # finish the per-triangle NEE pdf: divide by the uniform light
+        # pick probability now that num_lights is known
         if num_lights > 0:
-            for (ltype_r, mid_r, _, cnt_r, area_r), tris_r in zip(
-                light_rows, light_tris
-            ):
-                if ltype_r == LIGHT_AREA and cnt_r > 0 and area_r > 0.0:
-                    tri_light_pdf[tris_r] = 1.0 / (num_lights * area_r)
+            tri_light_pdf /= num_lights
 
         lt = np.array([r[0] for r in light_rows], np.int32)
         lm = np.array([r[1] for r in light_rows], np.int32)
