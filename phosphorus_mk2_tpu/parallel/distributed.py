@@ -1,0 +1,167 @@
+"""Multi-host runtime: process init, (host, chip) mesh, comm accounting.
+
+The reference discovers its execution resources once at startup
+(src/xpu.cpp `xpu_t::discover`: CPU threads + optional CUDA device) and
+then runs a pthread tile queue. The TPU-native production equivalent is
+
+* ``initialize()`` — `jax.distributed.initialize` when launched as one
+  process per host (SPMD), a no-op for single-process runs. All
+  processes must call it before any other JAX API touches the devices.
+* ``make_render_mesh()`` — a 2-D ``Mesh`` with axes ``("host", "chip")``:
+  the host axis spans processes (DCN between them), the chip axis spans
+  each host's local chips (ICI). The pixel wavefront shards over BOTH
+  axes (pixels never communicate), so per-ray traffic never leaves a
+  chip; only the film gather and the scene-parameter gradient
+  all-reduce cross the mesh.
+* ``comm_accounting()`` — the per-axis communication volume of one
+  render/train step, so scaling runs can check the measured time against
+  the bytes that actually move (BASELINE.md north star: >=85% scaling
+  efficiency; the way to *prove* it without a pod is to show the comm
+  volume is negligible next to compute).
+
+Single-host meshes get a host axis of length 1 — the same code path,
+spec, and collectives as a pod, just degenerate on one axis. Tests run
+it on the 8-device virtual CPU mesh with a synthetic 2x4 (host, chip)
+factorization.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> tuple[int, int]:
+    """Initialize multi-process JAX if this looks like a multi-host launch.
+
+    Resolution order mirrors `jax.distributed.initialize`: explicit args,
+    then the standard env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID, or a TPU pod's metadata which JAX reads natively).
+    Single-process runs (no coordinator configured) are a no-op.
+
+    Returns (process_index, process_count). Idempotent: a second call
+    after successful init just returns the current topology.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    if num_processes is None and env_np is not None:
+        num_processes = int(env_np)
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    if process_id is None and env_pid is not None:
+        process_id = int(env_pid)
+
+    multi = coordinator_address is not None or (
+        num_processes is not None and num_processes > 1
+    )
+    if multi and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError:
+            # already initialized (e.g. by the launcher) — fall through
+            pass
+    return jax.process_index(), jax.process_count()
+
+
+def make_render_mesh(
+    n_devices: int | None = None,
+    host_axis: int | None = None,
+) -> Mesh:
+    """Production 2-D (host, chip) mesh over the available devices.
+
+    host_axis: override the host-axis length. Defaults to
+    `jax.process_count()` (1 on a single host). Tests pass a synthetic
+    factorization (e.g. host_axis=2 on the 8-device virtual CPU mesh) to
+    exercise the 2-D spec without a pod. Devices are ordered so each
+    host-axis row holds one process's local chips — the chip axis rides
+    ICI, the host axis DCN.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if host_axis is None:
+        host_axis = jax.process_count() if jax.process_count() > 1 else 1
+    if n % host_axis != 0:
+        raise ValueError(f"{n} devices do not factor over host_axis={host_axis}")
+    if host_axis > 1 and jax.process_count() == host_axis:
+        # order rows by owning process so the chip axis is intra-host
+        devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+    return Mesh(np.asarray(devices).reshape(host_axis, -1), ("host", "chip"))
+
+
+def wave_spec(mesh: Mesh) -> P:
+    """PartitionSpec sharding the leading (pixel-wavefront) axis over
+    every mesh axis."""
+    return P(mesh.axis_names)
+
+
+def wave_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, wave_spec(mesh))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+@dataclass
+class CommAccounting:
+    """Per-axis bytes moved by ONE render/train step (per step, not per
+    bounce — per-ray state never crosses a device)."""
+
+    film_gather_bytes: int  # sharded film -> host (device-to-host, per pass)
+    grad_ici_bytes_per_chip: int  # grad all-reduce, chip axis (ICI)
+    grad_dcn_bytes_per_host: int  # grad all-reduce, host axis (DCN)
+    compute_rays: int  # rays traced in the same step, for ratio context
+
+    def summary(self) -> str:
+        return (
+            f"film gather {self.film_gather_bytes / 1e6:.2f} MB/pass; "
+            f"grad all-reduce {self.grad_ici_bytes_per_chip / 1e6:.2f} MB/chip ICI"
+            f" + {self.grad_dcn_bytes_per_host / 1e6:.2f} MB/host DCN; "
+            f"{self.compute_rays / 1e6:.1f} Mrays of compute "
+            f"({self.film_gather_bytes / max(self.compute_rays, 1):.1f} B/ray film)"
+        )
+
+
+def comm_accounting(
+    mesh: Mesh,
+    width: int,
+    height: int,
+    n_param_floats: int = 0,
+    spp: int = 1,
+    max_depth: int = 1,
+) -> CommAccounting:
+    """Communication volume of one sharded render (+ optional grad) step.
+
+    Film: color(3) + normal(3) + alpha(1) float32 sums per pixel leave the
+    devices once per pass. Gradients of replicated params are all-reduced
+    with a ring per mesh axis: 2*(k-1)/k of the buffer per participant.
+    """
+    n_pix = width * height
+    film = n_pix * 7 * 4
+    pbytes = n_param_floats * 4
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_chip = shape.get("chip", mesh.devices.size)
+    n_host = shape.get("host", 1)
+    ici = int(2 * (n_chip - 1) / n_chip * pbytes) if n_chip > 1 else 0
+    dcn = int(2 * (n_host - 1) / n_host * pbytes) if n_host > 1 else 0
+    return CommAccounting(
+        film_gather_bytes=film,
+        grad_ici_bytes_per_chip=ici,
+        grad_dcn_bytes_per_host=dcn,
+        compute_rays=n_pix * spp * max_depth * 2,
+    )

@@ -47,14 +47,15 @@ def pad_to_multiple(n: int, m: int) -> int:
 
 def shard_pixels(mesh: Mesh, width: int, height: int):
     """Flat pixel coordinate arrays padded to the mesh size and sharded
-    over the 'wave' axis. Returns (px, py, n_valid)."""
+    over ALL mesh axes (1-D ('wave',) and production 2-D ('host','chip')
+    meshes take the same path). Returns (px, py, n_valid)."""
     n = width * height
     n_dev = mesh.devices.size
     n_pad = pad_to_multiple(n, n_dev)
     ids = np.arange(n_pad, dtype=np.int32)
     px = np.where(ids < n, ids % width, 0).astype(np.int32)
     py = np.where(ids < n, ids // width, 0).astype(np.int32)
-    sharding = NamedSharding(mesh, P("wave"))
+    sharding = NamedSharding(mesh, P(mesh.axis_names))
     return (
         jax.device_put(px, sharding),
         jax.device_put(py, sharding),
@@ -94,7 +95,7 @@ def make_sharded_render(
     tracer = make_tracer(scene, use_bvh, use_pallas)
     px, py, n_valid = shard_pixels(mesh, camera.width, camera.height)
 
-    wave = NamedSharding(mesh, P("wave"))
+    wave = NamedSharding(mesh, P(mesh.axis_names))
 
     @functools.partial(
         jax.jit,

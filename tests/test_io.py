@@ -249,13 +249,15 @@ def test_cli_builtin_scene(tmp_path):
     assert rc == 0 and os.path.exists(out)
 
 
-def test_alembic_gated_error():
+def test_alembic_missing_file_error():
+    # .abc import is native (io/ogawa.py) — no binding gate anymore; a
+    # missing archive surfaces as the OS error, not an ImportError
     import pytest
 
     from phosphorus_mk2_tpu.core.scene import Scene
     from phosphorus_mk2_tpu.io.alembic import import_alembic
 
-    with pytest.raises(ImportError, match="Alembic"):
+    with pytest.raises(FileNotFoundError):
         import_alembic("/nonexistent.abc", Scene())
 
 

@@ -65,3 +65,60 @@ def test_sharded_gradient_allreduce():
 def test_mesh_device_count():
     mesh = make_wave_mesh()
     assert mesh.devices.size == 8
+
+
+def test_2d_host_chip_mesh_matches_single_device():
+    """The production (host, chip) mesh renders bit-identically to the
+    unsharded path through the SAME make_sharded_render entry point."""
+    from phosphorus_mk2_tpu.parallel import make_render_mesh
+
+    scene = sphere_in_box(width=RES, height=RES)
+    data = scene.build()
+    ref = render_aovs(
+        data,
+        scene.camera,
+        spp=2,
+        max_depth=2,
+        options=Options(use_bvh=False, samples_per_pass=2),
+    )
+
+    mesh = make_render_mesh(8, host_axis=2)
+    assert mesh.axis_names == ("host", "chip")
+    assert mesh.devices.shape == (2, 4)
+    fn, px, py, n_valid = make_sharded_render(
+        mesh, data, scene.camera, max_depth=2, use_bvh=False
+    )
+    sums = fn(data, jax.random.key(0), 0, 2)
+    film = gather_film(sums, RES, RES, 2)
+    np.testing.assert_allclose(
+        film["color"], np.asarray(ref["color"]), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_initialize_single_process_noop():
+    from phosphorus_mk2_tpu.parallel import initialize
+
+    pid, pcount = initialize()
+    assert pid == 0 and pcount == 1
+
+
+def test_comm_accounting():
+    from phosphorus_mk2_tpu.parallel import comm_accounting, make_render_mesh
+
+    mesh = make_render_mesh(8, host_axis=2)
+    acct = comm_accounting(mesh, 256, 256, n_param_floats=1000, spp=8, max_depth=4)
+    assert acct.film_gather_bytes == 256 * 256 * 7 * 4
+    # ring all-reduce volume: 2*(k-1)/k of the buffer per participant
+    assert acct.grad_ici_bytes_per_chip == int(2 * 3 / 4 * 4000)
+    assert acct.grad_dcn_bytes_per_host == int(2 * 1 / 2 * 4000)
+    assert acct.compute_rays == 256 * 256 * 8 * 4 * 2
+    assert "MB" in acct.summary()
+
+
+def test_bad_host_factorization_raises():
+    from phosphorus_mk2_tpu.parallel import make_render_mesh
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_render_mesh(8, host_axis=3)

@@ -29,11 +29,15 @@ def main():
     import numpy as np
 
     from phosphorus_mk2_tpu.core.options import Options
-    from phosphorus_mk2_tpu.parallel.sharding import (
+    from phosphorus_mk2_tpu.parallel import (
+        comm_accounting,
+        initialize,
+        make_render_mesh,
         make_sharded_render,
-        make_wave_mesh,
     )
     from phosphorus_mk2_tpu.scenes import cornell_box
+
+    initialize()  # no-op single-process; jax.distributed on a pod
 
     if "--devices" in args:
         i = args.index("--devices")
@@ -43,6 +47,8 @@ def main():
         counts = sorted({1, 2, n} & set(range(1, n + 1))) or [1]
 
     W = H = 256
+    if "--res" in args:
+        W = H = int(args[args.index("--res") + 1])
     SPP = 8
     DEPTH = 4
     scene = cornell_box(width=W, height=H)
@@ -51,10 +57,20 @@ def main():
     print(f"devices available: {len(jax.devices())} x {jax.devices()[0].platform}")
     base_rate = None
     for n_dev in counts:
-        mesh = make_wave_mesh(n_dev)
+        # production 2-D (host, chip) mesh; host axis from process count
+        # (synthetic 2-way factorization under --cpu to exercise the spec)
+        host_axis = None
+        if "--cpu" in args and n_dev % 2 == 0 and n_dev > 1:
+            host_axis = 2
+        mesh = make_render_mesh(n_dev, host_axis=host_axis)
         fn, px, py, n_valid = make_sharded_render(
             mesh, data, scene.camera, max_depth=DEPTH, use_bvh=False
         )
+        acct = comm_accounting(
+            mesh, W, H, n_param_floats=int(np.prod(data.emission.shape)),
+            spp=SPP, max_depth=DEPTH,
+        )
+        print(f"  mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}: {acct.summary()}")
         key = jax.random.key(0)
         out = fn(data, key, 0, SPP)
         jax.block_until_ready(out)
