@@ -69,8 +69,15 @@ class Renderer:
 
     # --- progressive pass loop ---------------------------------------
 
-    def passes(self):
-        """Yield (film, done_spp) after each accumulation pass."""
+    def passes(self, cancel=None):
+        """Yield (film, done_spp) after each accumulation pass.
+
+        cancel: optional zero-arg callable polled between passes AND
+        between wavefront chunks of a pass (a chunk can be the better
+        part of a minute at 4K with remote TPU compiles — front-ends
+        like the Blender engine pass their test_break here so aborts
+        don't wait out a whole pass). On cancel the generator returns
+        without yielding a partial pass."""
         opts = self.options
         spp = opts.samples_per_pixel
         per_pass = max(1, min(opts.samples_per_pass, spp))
@@ -79,6 +86,8 @@ class Renderer:
         n_pix = self.px.shape[0]
         chunk = self.options.max_wavefront
         while done < spp:
+            if cancel is not None and cancel():
+                return
             todo = min(per_pass, spp - done)
             if n_pix <= chunk:
                 out = self.fn(self.data, self.key, done, todo)
@@ -90,6 +99,8 @@ class Renderer:
 
                 pieces = []
                 for s0 in range(0, n_pix, chunk):
+                    if cancel is not None and cancel():
+                        return
                     s1 = min(s0 + chunk, n_pix)
                     pad = chunk - (s1 - s0)
                     cpx = jnp.pad(self.px[s0:s1], (0, pad))

@@ -40,11 +40,15 @@ class PhosphorusRenderEngine(bpy.types.RenderEngine):
         )
         renderer = Renderer(scene, options)
 
-        self.add_pass("Normal", 3, "XYZ")
+        if getattr(settings, "normal_pass", False):
+            self.add_pass("Normal", 3, "XYZ")
         result = self.begin_result(0, 0, w, h)
         layer = result.layers[0]
 
-        for film, done in renderer.passes():
+        # test_break polls inside the render loop too (between wavefront
+        # chunks), not just between passes — a 4K pass can be minutes
+        # with remote TPU compiles
+        for film, done in renderer.passes(cancel=self.test_break):
             if self.test_break():
                 break
             combined = np.ones((h, w, 4), np.float32)
@@ -52,14 +56,23 @@ class PhosphorusRenderEngine(bpy.types.RenderEngine):
             combined[..., 3] = film["alpha"]
             # y-flip into Blender's bottom-up convention
             # (reference sink.cpp:95-118 does the same flip)
-            layer.passes["Combined"].rect = (
-                combined[::-1].reshape(-1, 4).tolist()
-            )
+            _set_rect(layer.passes["Combined"], combined[::-1].reshape(-1, 4))
             if "Normal" in layer.passes:
-                layer.passes["Normal"].rect = (
-                    film["normal"][::-1].reshape(-1, 3).tolist()
+                _set_rect(
+                    layer.passes["Normal"], film["normal"][::-1].reshape(-1, 3)
                 )
             self.update_result(result)
             self.update_progress(done / options.samples_per_pixel)
 
         self.end_result(result)
+
+
+def _set_rect(render_pass, arr: np.ndarray) -> None:
+    """Write pixels into a RenderPass without O(pixels) Python list
+    churn: foreach_set takes the flat float buffer directly (bpy 2.83+);
+    the tolist() assignment remains as the fallback."""
+    flat = np.ascontiguousarray(arr, np.float32)
+    try:
+        render_pass.rect.foreach_set(flat.reshape(-1))
+    except (AttributeError, TypeError):
+        render_pass.rect = flat.tolist()

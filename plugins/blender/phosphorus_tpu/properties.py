@@ -20,3 +20,8 @@ class PhosphorusRenderSettings(bpy.types.PropertyGroup):
         min=1,
     )
     use_bvh: bpy.props.BoolProperty(name="Use BVH", default=True)
+    normal_pass: bpy.props.BoolProperty(
+        name="Normal pass",
+        description="Render a Normal AOV pass alongside Combined",
+        default=False,
+    )

@@ -20,3 +20,4 @@ class PHOSPHORUS_RENDER_PT_sampling(bpy.types.Panel):
         col.prop(settings, "max_depth")
         col.prop(settings, "samples_per_pass")
         col.prop(settings, "use_bvh")
+        col.prop(settings, "normal_pass")

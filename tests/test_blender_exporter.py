@@ -170,3 +170,197 @@ def test_non_node_material():
     m = convert_material(bl)
     assert m.lobes[0].type == DIFFUSE
     np.testing.assert_allclose(m.lobes[0].weight, (0.3, 0.6, 0.9))
+
+
+# ---- node-graph compilation (reference blender/shader.cpp:104-134) ----
+
+class LSockets:
+    """Socket list supporting duplicate names (MixShader has two
+    'Shader' inputs) + linked sockets."""
+
+    def __init__(self, entries):
+        self.sockets = []
+        self._by = {}
+        for name, sock in entries:
+            sock.name = name
+            self.sockets.append(sock)
+            self._by.setdefault(name, sock)
+
+    def get(self, name):
+        return self._by.get(name)
+
+    def __iter__(self):
+        return iter(self.sockets)
+
+
+def _sock(value=None, link=None):
+    return NS(
+        default_value=value,
+        links=[NS(from_node=link)] if link is not None else [],
+    )
+
+
+def _gnode(idname, entries, **attrs):
+    return NS(
+        bl_idname=idname,
+        inputs=LSockets(entries),
+        is_active_output=False,
+        **attrs,
+    )
+
+
+def _image(name="tex", w=2, h=2):
+    # rows bottom-up like bpy: bottom row red, top row green
+    px = []
+    for row in ([1, 0, 0, 1], [0, 1, 0, 1]):
+        for _ in range(w):
+            px += row
+    return NS(name=name, size=(w, h), channels=4, pixels=px)
+
+
+def test_mix_shader_scales_lobes():
+    diff = _gnode(
+        "ShaderNodeBsdfDiffuse",
+        [("Color", _sock((1.0, 0.0, 0.0, 1.0))), ("Roughness", _sock(0.0))],
+    )
+    glos = _gnode(
+        "ShaderNodeBsdfGlossy",
+        [("Color", _sock((1.0, 1.0, 1.0, 1.0))), ("Roughness", _sock(0.3))],
+    )
+    mix = _gnode(
+        "ShaderNodeMixShader",
+        [("Fac", _sock(0.25)), ("Shader", _sock(link=diff)), ("Shader", _sock(link=glos))],
+    )
+    m = convert_material(_mat("mix", mix))
+    assert len(m.lobes) == 2
+    types = {lobe.type for lobe in m.lobes}
+    assert types == {DIFFUSE, MICROFACET}
+    d = next(lobe for lobe in m.lobes if lobe.type == DIFFUSE)
+    g = next(lobe for lobe in m.lobes if lobe.type == MICROFACET)
+    np.testing.assert_allclose(d.weight, (0.75, 0.0, 0.0))
+    np.testing.assert_allclose(g.weight, (0.25, 0.25, 0.25))
+
+
+def test_add_shader_unions_lobes_and_emission():
+    emit = _gnode(
+        "ShaderNodeEmission",
+        [("Color", _sock((1.0, 0.5, 0.0, 1.0))), ("Strength", _sock(2.0))],
+    )
+    diff = _gnode(
+        "ShaderNodeBsdfDiffuse",
+        [("Color", _sock((0.2, 0.2, 0.2, 1.0))), ("Roughness", _sock(0.0))],
+    )
+    add = _gnode(
+        "ShaderNodeAddShader",
+        [("Shader", _sock(link=emit)), ("Shader", _sock(link=diff))],
+    )
+    m = convert_material(_mat("add", add))
+    assert m.is_emitter
+    assert len(m.lobes) == 1 and m.lobes[0].type == DIFFUSE
+    # emitter divides by pi (reference emitter quirk)
+    np.testing.assert_allclose(m.emission, np.array([1.0, 0.5, 0.0]) * 2.0 / np.pi)
+
+
+def test_fresnel_mix_sets_lobe_fresnel_modes():
+    from phosphorus_mk2_tpu.core.material import FRESNEL_F, FRESNEL_ONE_MINUS_F
+
+    fres = _gnode("ShaderNodeFresnel", [("IOR", _sock(1.6))])
+    diff = _gnode(
+        "ShaderNodeBsdfDiffuse",
+        [("Color", _sock((1.0, 1.0, 1.0, 1.0))), ("Roughness", _sock(0.0))],
+    )
+    glos = _gnode(
+        "ShaderNodeBsdfGlossy",
+        [("Color", _sock((1.0, 1.0, 1.0, 1.0))), ("Roughness", _sock(0.0))],
+    )
+    mix = _gnode(
+        "ShaderNodeMixShader",
+        [("Fac", _sock(0.5, link=fres)), ("Shader", _sock(link=diff)), ("Shader", _sock(link=glos))],
+    )
+    m = convert_material(_mat("fmix", mix))
+    d = next(lobe for lobe in m.lobes if lobe.type == DIFFUSE)
+    g = next(lobe for lobe in m.lobes if lobe.type != DIFFUSE)
+    assert d.padded_params()[4] == FRESNEL_ONE_MINUS_F
+    assert g.padded_params()[4] == FRESNEL_F
+    assert d.padded_params()[5] == g.padded_params()[5] == 1.6
+    # full weights — the fresnel factor is applied per-hit, not baked
+    np.testing.assert_allclose(d.weight, (1, 1, 1))
+
+
+def test_image_texture_on_diffuse_color():
+    from phosphorus_mk2_tpu.core.scene import Scene
+
+    scene = Scene()
+    tex = _gnode("ShaderNodeTexImage", [], image=_image())
+    diff = _gnode(
+        "ShaderNodeBsdfDiffuse",
+        [("Color", _sock((0.5, 0.5, 0.5, 1.0), link=tex)), ("Roughness", _sock(0.0))],
+    )
+    cache = {}
+    m = convert_material(_mat("tex", diff), scene=scene, tex_cache=cache)
+    assert m.lobes[0].texture == 0
+    np.testing.assert_allclose(m.lobes[0].weight, (1, 1, 1))
+    assert len(scene.textures) == 1
+    img = scene.textures[0].image
+    # bpy rows are bottom-up; top-left texel must be the GREEN (top) row
+    np.testing.assert_allclose(img[0, 0], (0, 1, 0))
+    np.testing.assert_allclose(img[-1, 0], (1, 0, 0))
+
+    # same image reused -> same texture id (cache hit)
+    m2 = convert_material(_mat("tex2", diff), scene=scene, tex_cache=cache)
+    assert m2.lobes[0].texture == 0
+    assert len(scene.textures) == 1
+
+
+def test_normal_map_node():
+    from phosphorus_mk2_tpu.core.scene import Scene
+
+    scene = Scene()
+    tex = _gnode("ShaderNodeTexImage", [], image=_image("nrm"))
+    nm = _gnode("ShaderNodeNormalMap", [("Color", _sock((0.5, 0.5, 1.0, 1.0), link=tex))])
+    diff = _gnode(
+        "ShaderNodeBsdfDiffuse",
+        [
+            ("Color", _sock((0.8, 0.8, 0.8, 1.0))),
+            ("Roughness", _sock(0.0)),
+            ("Normal", _sock(link=nm)),
+        ],
+    )
+    m = convert_material(_mat("nmap", diff), scene=scene)
+    assert m.normal_texture == 0
+
+
+def test_mesh_corner_attributes_exported():
+    """Split normals + active uv layer become per-corner Mesh attrs."""
+    mesh = _cube_mesh()
+    # loops: 2 triangles * 3 corners; give the two faces different
+    # normals (a hard edge) and a uv seam
+    tris = [
+        NS(vertices=(0, 1, 2), material_index=0, use_smooth=True, loops=(0, 1, 2)),
+        NS(vertices=(1, 3, 2), material_index=0, use_smooth=True, loops=(3, 4, 5)),
+    ]
+    loops = [NS(normal=(0, 0, 1)) for _ in range(3)] + [
+        NS(normal=(1, 0, 0)) for _ in range(3)
+    ]
+    uvdata = [NS(uv=(i * 0.1, i * 0.2)) for i in range(6)]
+    mesh = NS(
+        vertices=mesh.vertices,
+        loop_triangles=tris,
+        loops=loops,
+        uv_layers=NS(active=NS(data=uvdata)),
+        calc_loop_triangles=lambda: None,
+        calc_normals_split=lambda: None,
+    )
+    inst = NS(
+        object=_obj("hard", mesh, None), matrix_world=np.eye(4, dtype=np.float32)
+    )
+    scene = export_scene(NS(object_instances=[inst]), _bl_scene())
+    me = scene.meshes[0]
+    assert me.corner_normals is not None and me.corner_normals.shape == (2, 3, 3)
+    np.testing.assert_allclose(me.corner_normals[0, 0], (0, 0, 1))
+    np.testing.assert_allclose(me.corner_normals[1, 0], (1, 0, 0))
+    assert me.corner_uvs is not None and me.corner_uvs.shape == (2, 3, 2)
+    np.testing.assert_allclose(me.corner_uvs[1, 2], (0.5, 1.0))
+    # corner attrs survive scene build (resolve_corners splits vertices)
+    data = scene.build()
+    assert data.num_tris == 2
