@@ -244,17 +244,20 @@ def occluded_brute(scene, p, d, tmax, chunk: int | None = None):
     return hit
 
 
-def reintersect(scene, tri, p, d, attr=None):
+def reintersect(scene, tri, p, d, attr=None, row=None):
     """Differentiable (t, u, v) for known triangle ids.
 
     Gradients flow to scene.vertices through the gathered triangle
     vertices; comparisons/ids from the primal traversal are constants.
     attr: optional core.shading.triangle_attribute_table row matrix —
     reuses its one row-gather instead of four (faces + 3 vertex gathers).
+    row: pre-gathered rows (N, >=9) — zero gathers here.
     """
-    if attr is not None:
-        row = attr[jnp.maximum(tri, 0)]
+    if row is not None:
         a, b, c = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+    elif attr is not None:
+        arow = attr[jnp.maximum(tri, 0)]
+        a, b, c = arow[..., 0:3], arow[..., 3:6], arow[..., 6:9]
     else:
         a, b, c = _gather_tri_verts(scene, jnp.maximum(tri, 0))
     t, u, v, _ = mt_intersect(p, d, a, b, c)

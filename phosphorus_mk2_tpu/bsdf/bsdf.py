@@ -57,6 +57,93 @@ def material_tables(scene):
     return fl, il
 
 
+def hit_row_tables(scene, attr):
+    """Per-TRIANGLE consolidated hit rows: fold the material float/int
+    tables through tri_mat so the whole hit side (attributes + emission
+    + lobes + texture ids + NEE pdf) reads with TWO row-gathers instead
+    of ~7 — on the axon TPU platform every gather is a kernel launch and
+    launches dominate small wavefronts (tools/tpu_r2_probe.py).
+
+    Width is attr_w + 4 + Lu*(3+P) floats (Lu = max lobes actually used),
+    so callers gate on scene size; the light side keeps the narrow attr
+    table (a wide row for 3 values measured 13% slower there in round 1).
+
+    Returns (hit_f, hit_i, layout):
+      hit_f: (F, attr_w | emission 3 | weights Lu*3 | params Lu*P | nee_pdf 1)
+      hit_i: (F, mat 1 | types Lu | flags Lu | n_lobes 1
+                 [| emission_tex 1 | lobe_tex Lu] [| normal_tex 1])
+    """
+    m, L = scene.lobe_type.shape
+    lu = getattr(scene, "max_lobes_used", 0) or L
+    p = scene.lobe_param.shape[2]
+    tm = scene.tri_mat
+    mat_f = jnp.concatenate(
+        [
+            scene.emission,
+            scene.lobe_weight[:, :lu].reshape(m, lu * 3),
+            scene.lobe_param[:, :lu].reshape(m, lu * p),
+        ],
+        axis=1,
+    )
+    nee = scene.tri_light_pdf
+    if nee is None:
+        nee = jnp.zeros((tm.shape[0],), jnp.float32)
+    hit_f = jnp.concatenate([attr, mat_f[tm], nee[:, None]], axis=1)
+
+    icols = [
+        tm[:, None],
+        scene.lobe_type[:, :lu][tm],
+        scene.lobe_flags[:, :lu][tm],
+        scene.n_lobes[tm][:, None],
+    ]
+    has_tex = getattr(scene, "has_textures", False)
+    has_nm = getattr(scene, "has_normal_maps", False)
+    if has_tex:
+        icols += [scene.emission_tex[tm][:, None], scene.lobe_tex[:, :lu][tm]]
+    if has_nm:
+        icols += [scene.normal_tex[tm][:, None]]
+    hit_i = jnp.concatenate(icols, axis=1)
+    layout = {
+        "attr_w": attr.shape[1],
+        "lu": lu,
+        "p": p,
+        "has_tex": has_tex,
+        "has_nm": has_nm,
+    }
+    return hit_f, hit_i, layout
+
+
+def unpack_hit_rows(scene, hrow, irow, layout):
+    """Parse gathered consolidated rows -> (mat_id, emission (N,3),
+    lobes dict, tex dict). tex dict keys (present when textured):
+    emission_tex (N,), lobe_tex (N, Lu), normal_tex (N,)."""
+    aw, lu, p = layout["attr_w"], layout["lu"], layout["p"]
+    n = hrow.shape[0]
+    emission = hrow[:, aw : aw + 3]
+    weight = hrow[:, aw + 3 : aw + 3 + lu * 3].reshape(n, lu, 3)
+    param = hrow[:, aw + 3 + lu * 3 : aw + 3 + lu * (3 + p)].reshape(n, lu, p)
+    nee_pdf = hrow[:, aw + 3 + lu * (3 + p)]
+    mat_id = irow[:, 0]
+    lobes = {
+        "type": irow[:, 1 : 1 + lu],
+        "weight": weight,
+        "param": param,
+        "flags": irow[:, 1 + lu : 1 + 2 * lu],
+        "n": irow[:, 1 + 2 * lu],
+        "present": getattr(scene, "lobe_types_present", ()) or None,
+        "max_lobes": lu,
+    }
+    tex = {}
+    col = 2 + 2 * lu
+    if layout["has_tex"]:
+        tex["emission_tex"] = irow[:, col]
+        tex["lobe_tex"] = irow[:, col + 1 : col + 1 + lu]
+        col += 1 + lu
+    if layout["has_nm"]:
+        tex["normal_tex"] = irow[:, col]
+    return mat_id, emission, lobes, nee_pdf, tex
+
+
 def gather_lobes(scene, mat_id: jnp.ndarray, tables=None) -> dict:
     """Per-hit lobe arrays for a wavefront of material ids (N,).
 
@@ -95,15 +182,21 @@ def gather_lobes(scene, mat_id: jnp.ndarray, tables=None) -> dict:
     return gathered
 
 
-def apply_textures(scene, lobes: dict, mat_id: jnp.ndarray, st: jnp.ndarray) -> dict:
+def apply_textures(
+    scene, lobes: dict, mat_id: jnp.ndarray, st: jnp.ndarray, tex=None
+) -> dict:
     """Fold texture lookups into the per-hit lobe weights (the TPU form
     of the reference's OSL texture() closure inputs). No-op (compiled
-    away) for untextured scenes."""
+    away) for untextured scenes. tex: optional pre-gathered (N, L)
+    lobe-texture ids (consolidated hit row)."""
     if not getattr(scene, "has_textures", False):
         return lobes
 
     L = lobes.get("max_lobes", MAX_LOBES)
-    tex = scene.lobe_tex[mat_id][:, :L]  # (N, L)
+    if tex is None:
+        tex = scene.lobe_tex[mat_id][:, :L]  # (N, L)
+    else:
+        tex = tex[:, :L]
     n = mat_id.shape[0]
     flat_tex = tex.reshape(-1)
     flat_st = jnp.broadcast_to(st[:, None, :], (n, L, 2)).reshape(-1, 2)
@@ -180,6 +273,15 @@ def emission_at(scene, mat_id: jnp.ndarray, st: jnp.ndarray, tables=None) -> jnp
     t = scene.emission_tex[mat_id]
     f = _sample_any(scene, t, st)
     return jnp.where((t >= 0)[..., None], e * f, e)
+
+
+def emission_from_row(scene, e, etex, st) -> jnp.ndarray:
+    """Texture-modulated emission from pre-gathered values (consolidated
+    hit row): e (N,3), etex (N,) texture ids or None when untextured."""
+    if not getattr(scene, "has_textures", False) or etex is None:
+        return e
+    f = _sample_any(scene, etex, st)
+    return jnp.where((etex >= 0)[..., None], e * f, e)
 
 
 def env_emission_at(scene, d: jnp.ndarray) -> jnp.ndarray:

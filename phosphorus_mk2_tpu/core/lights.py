@@ -49,6 +49,22 @@ def light_meta_table(scene) -> jnp.ndarray:
     )
 
 
+def light_tri_table(scene, attr) -> jnp.ndarray:
+    """(LT, attr_w + 3 [+1]) consolidated LIGHT-TRIANGLE rows: the attr
+    row of each light triangle plus its material's emission (and its
+    emission-texture id as float bits when textured). Indexed by
+    (light_offset + tri pick) directly, this folds the light_tris
+    indirection, the attribute gather and the emission gather of the
+    NEE loop into ONE row-gather. Light-triangle counts are tiny even in
+    huge scenes, so this is always on (unlike the per-tri hit rows)."""
+    lt = scene.light_tris
+    lmat = scene.tri_mat[lt]
+    cols = [attr[lt], scene.emission[lmat]]
+    if getattr(scene, "has_textures", False):
+        cols.append(scene.emission_tex[lmat][:, None].astype(jnp.float32))
+    return jnp.concatenate(cols, axis=1)
+
+
 def sample_lights(
     scene,
     u_pick: jnp.ndarray,
@@ -56,6 +72,8 @@ def sample_lights(
     u_uv: jnp.ndarray,
     attr=None,
     meta=None,
+    lt_table=None,
+    attr_w: int | None = None,
 ):
     """Sample one light point per wavefront entry.
 
@@ -88,27 +106,40 @@ def sample_lights(
 
     # area light: uniform triangle pick with sample reuse
     tri_sel, u_rem = remap_index_sample(u_tri, lcount)
-    gtri = scene.light_tris[loffset + tri_sel]
     bary = triangle_sample(jnp.stack([u_rem, u_uv], axis=-1))
     bu, bv = bary[..., 0], bary[..., 1]
 
-    if attr is None:
-        f = scene.faces[gtri]
-        a = scene.vertices[f[..., 0]]
-        b = scene.vertices[f[..., 1]]
-        c = scene.vertices[f[..., 2]]
+    e_area = None
+    etex_area = None
+    if lt_table is not None:
+        # consolidated light-tri row: attrs + emission in ONE gather,
+        # indexed without the light_tris indirection
+        row = lt_table[loffset + tri_sel]
+        a, b, c = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        aw = attr_w if attr_w is not None else row.shape[-1] - 3
+        e_area = row[..., aw : aw + 3]
+        if getattr(scene, "has_textures", False):
+            etex_area = row[..., aw + 3].astype(jnp.int32)
+        sp = shading_parameters(scene, loffset, bu, bv, row=row)
     else:
-        arow = attr[gtri]
-        a, b, c = arow[..., 0:3], arow[..., 3:6], arow[..., 6:9]
+        gtri = scene.light_tris[loffset + tri_sel]
+        if attr is None:
+            f = scene.faces[gtri]
+            a = scene.vertices[f[..., 0]]
+            b = scene.vertices[f[..., 1]]
+            c = scene.vertices[f[..., 2]]
+        else:
+            arow = attr[gtri]
+            a, b, c = arow[..., 0:3], arow[..., 3:6], arow[..., 6:9]
+        # ...the light-side shading normal is computed with the *hit*
+        # convention on the same (u, v) — replicating the reference's
+        # convention mismatch (spt.hpp:245 via mesh.cpp:176-197).
+        sp = shading_parameters(scene, gtri, bu, bv, attr=attr)
     # reference convention: barycentric_to_point = u*a + v*b + (1-u-v)*c
     # (src/mesh.cpp:314-316)
     p_area = (
         bu[..., None] * a + bv[..., None] * b + (1.0 - bu - bv)[..., None] * c
     )
-    # ...but the light-side shading normal is computed with the *hit*
-    # convention on the same (u, v) — replicating the reference's
-    # convention mismatch (spt.hpp:245 via mesh.cpp:176-197).
-    sp = shading_parameters(scene, gtri, bu, bv, attr=attr)
     n_area = sp["n"]
     pdf_area = 1.0 / jnp.maximum(larea, 1e-20)
 
@@ -127,4 +158,12 @@ def sample_lights(
     valid = is_area & (lcount_raw > 0)
     st = jnp.where(is_area[..., None], sp["st"], 0.0)
 
-    return {"p": p, "n": n, "pdf": pdf, "mat": lmat, "valid": valid, "st": st}
+    out = {"p": p, "n": n, "pdf": pdf, "mat": lmat, "valid": valid, "st": st}
+    if e_area is not None:
+        # emission pre-gathered in the light-tri row: callers skip their
+        # emission_at() gather (texture modulation still applies at st)
+        out["e"] = jnp.where(is_area[..., None], e_area, 0.0)
+        out["etex"] = (
+            jnp.where(is_area, etex_area, -1) if etex_area is not None else None
+        )
+    return out

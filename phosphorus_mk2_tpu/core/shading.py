@@ -52,17 +52,26 @@ def triangle_attribute_table(scene) -> jnp.ndarray:
     return jnp.concatenate(cols, axis=1)
 
 
-def shading_parameters(scene, tri: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, attr=None):
+def shading_parameters(
+    scene, tri: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, attr=None, row=None
+):
     """Interpolated shading normal, geometric position and uv for hits.
 
     tri: (N,) triangle ids (clamped to valid for gathering; callers mask
     by the hit flag). attr: optional triangle_attribute_table(scene) —
-    pass it in hot loops to turn ~11 gathers into 1.
+    pass it in hot loops to turn ~11 gathers into 1. row: optional
+    pre-gathered attribute rows (N, >=attr width) — zero gathers here
+    (the integrator's consolidated hit row shares one gather across
+    reintersect/shading/material lookup).
     Returns dict with p (N,3), n (N,3), st (N,2).
     All outputs are differentiable w.r.t. scene.vertices/normals.
     """
     t = jnp.maximum(tri, 0)
-    if attr is None:
+    if row is not None:
+        attr = None
+    elif attr is not None:
+        row = attr[t]  # (N, D) — the one gather
+    if row is None:
         f = scene.faces[t]
         a = scene.vertices[f[..., 0]]
         b = scene.vertices[f[..., 1]]
@@ -80,7 +89,6 @@ def shading_parameters(scene, tri: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, 
             else None
         )
     else:
-        row = attr[t]  # (N, D) — the one gather
         a, b, c = row[..., 0:3], row[..., 3:6], row[..., 6:9]
         n0, n1, n2 = row[..., 9:12], row[..., 12:15], row[..., 15:18]
         uv0, uv1, uv2 = row[..., 18:20], row[..., 20:22], row[..., 22:24]
@@ -109,16 +117,18 @@ def shading_parameters(scene, tri: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, 
     return out
 
 
-def apply_normal_map(scene, sp: dict, mat: jnp.ndarray) -> dict:
+def apply_normal_map(scene, sp: dict, mat: jnp.ndarray, tid=None) -> dict:
     """Perturb the shading normal by a tangent-space normal map
     (reference normal_map_node.osl + the geom:tangent attribute path,
-    src/material.cpp:67-84). No-op without normal maps (static)."""
+    src/material.cpp:67-84). No-op without normal maps (static).
+    tid: optional pre-gathered normal-texture ids (consolidated hit row)."""
     if not getattr(scene, "has_normal_maps", False):
         return sp
     from phosphorus_mk2_tpu.core.texture import sample_texture
     from phosphorus_mk2_tpu.math.vec import cross as _cross
 
-    tid = scene.normal_tex[mat]
+    if tid is None:
+        tid = scene.normal_tex[mat]
     rgb = sample_texture(scene.tex_atlas, scene.tex_info, tid, sp["st"])
     tsn = rgb * 2.0 - 1.0
     n = sp["n"]

@@ -46,13 +46,20 @@ from phosphorus_mk2_tpu.bsdf.bsdf import (
     bsdf_pdf,
     bsdf_sample,
     emission_at,
+    emission_from_row,
     env_emission_at,
     gather_lobes,
+    hit_row_tables,
     is_specular_flags,
     material_tables,
+    unpack_hit_rows,
 )
 from phosphorus_mk2_tpu.core.camera import camera_to_params, generate_rays
-from phosphorus_mk2_tpu.core.lights import light_meta_table, sample_lights
+from phosphorus_mk2_tpu.core.lights import (
+    light_meta_table,
+    light_tri_table,
+    sample_lights,
+)
 from phosphorus_mk2_tpu.core.shading import (
     apply_normal_map,
     shading_parameters,
@@ -128,13 +135,33 @@ def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False, kind: str
     return intersect_brute, occluded_brute
 
 
+# per-tri consolidated hit rows cost ~(attr_w + 4 + 9*Lu) floats per
+# triangle; cap where that is still small next to the geometry itself
+HIT_ROW_MAX_TRIS = 1 << 18
+
+
 def make_scene_tables(scene) -> dict:
-    """Build the consolidated gather tables used by trace_sample."""
-    return {
-        "attr": triangle_attribute_table(scene),
+    """Build the consolidated gather tables used by trace_sample.
+
+    Beyond the round-1 attr/mat/light tables, two fat-row tables fold
+    whole lookup chains into single row-gathers (each gather is a kernel
+    launch on the axon platform — the dominant cost at bench wavefronts):
+    * hit_f/hit_i: per-TRIANGLE attribute+material rows (hit side reads
+      2 rows instead of ~7 gathers); gated on scene size;
+    * light_tri: per-LIGHT-TRIANGLE attr+emission rows (NEE side reads
+      1 row instead of 3 gathers); always on — light tris are few.
+    """
+    attr = triangle_attribute_table(scene)
+    tables = {
+        "attr": attr,
         "mat": material_tables(scene),
         "light": light_meta_table(scene),
+        "light_tri": light_tri_table(scene, attr),
     }
+    if scene.num_tris <= HIT_ROW_MAX_TRIS:
+        hit_f, hit_i, layout = hit_row_tables(scene, attr)
+        tables.update({"hit_f": hit_f, "hit_i": hit_i, "hit_layout": layout})
+    return tables
 
 
 def trace_sample(
@@ -182,6 +209,10 @@ def trace_sample(
     attr = tables["attr"]
     mat_tables = tables["mat"]
     light_meta = tables["light"]
+    light_tri = tables.get("light_tri")
+    hit_f = tables.get("hit_f")
+    hit_i = tables.get("hit_i")
+    hit_layout = tables.get("hit_layout")
 
     seed32 = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.uint32)
     pix = (pixel_y.astype(jnp.uint32) << jnp.uint32(16)) | pixel_x.astype(
@@ -209,20 +240,48 @@ def trace_sample(
         hits = closest(scene, p, d)
         tri = hits["tri"]
         hit = hits["hit"] & alive
+        safe_tri = jnp.maximum(tri, 0)
 
-        # differentiable re-evaluation of the hit point
-        t_hit, u, v = reintersect(scene, tri, p, d, attr=attr)
-        u = jnp.where(hit, u, 0.0)
-        v = jnp.where(hit, v, 0.0)
-        sp = shading_parameters(scene, tri, u, v, attr=attr)
-        wo_view = -d  # toward the previous vertex (reference flips wi)
-        mat = jnp.where(hit, scene.tri_mat[jnp.maximum(tri, 0)], 0)
-        n_interp = sp["n"]  # pre-normal-map interpolated normal: the
-        # cosine convention sample_lights uses on the NEE side
-        sp = apply_normal_map(scene, sp, mat)
-        hp, hn = sp["p"], sp["n"]
-
-        e_hit = emission_at(scene, mat, sp["st"], tables=mat_tables)
+        if hit_f is not None:
+            # consolidated hit side: TWO row-gathers feed the
+            # re-intersection, shading attrs, material lobes, emission,
+            # texture ids and the NEE-competing pdf
+            hrow = hit_f[safe_tri]
+            irow = hit_i[safe_tri]
+            mat_raw, e_row, lobes_raw, nee_pdf_row, texids = unpack_hit_rows(
+                scene, hrow, irow, hit_layout
+            )
+            t_hit, u, v = reintersect(scene, tri, p, d, row=hrow)
+            u = jnp.where(hit, u, 0.0)
+            v = jnp.where(hit, v, 0.0)
+            sp = shading_parameters(scene, tri, u, v, row=hrow)
+            mat = jnp.where(hit, mat_raw, 0)
+            wo_view = -d
+            n_interp = sp["n"]
+            sp = apply_normal_map(scene, sp, mat, tid=texids.get("normal_tex"))
+            hp, hn = sp["p"], sp["n"]
+            e_hit = emission_from_row(
+                scene, e_row, texids.get("emission_tex"), sp["st"]
+            )
+            lobes = apply_textures(
+                scene, lobes_raw, mat, sp["st"], tex=texids.get("lobe_tex")
+            )
+        else:
+            # differentiable re-evaluation of the hit point
+            t_hit, u, v = reintersect(scene, tri, p, d, attr=attr)
+            u = jnp.where(hit, u, 0.0)
+            v = jnp.where(hit, v, 0.0)
+            sp = shading_parameters(scene, tri, u, v, attr=attr)
+            wo_view = -d  # toward the previous vertex (reference flips wi)
+            mat = jnp.where(hit, scene.tri_mat[safe_tri], 0)
+            n_interp = sp["n"]  # pre-normal-map interpolated normal: the
+            # cosine convention sample_lights uses on the NEE side
+            sp = apply_normal_map(scene, sp, mat)
+            hp, hn = sp["p"], sp["n"]
+            e_hit = emission_at(scene, mat, sp["st"], tables=mat_tables)
+            lobes = apply_textures(
+                scene, gather_lobes(scene, mat, tables=mat_tables), mat, sp["st"]
+            )
 
         # 1. emission at first/specular vertices; env on miss
         emit_mask = hit & ((b == 0) | spec)
@@ -239,12 +298,10 @@ def trace_sample(
             # map); weights then sum to 1 on normal-mapped emitters
             dist = jax.lax.stop_gradient(t_hit)
             cos_h = jnp.abs(dot(n_interp, d))
-            pdf_nee_sa = (
-                scene.tri_light_pdf[jnp.maximum(tri, 0)]
-                * dist
-                * dist
-                / jnp.maximum(cos_h, 1e-20)
+            nee_pdf = (
+                nee_pdf_row if hit_f is not None else scene.tri_light_pdf[safe_tri]
             )
+            pdf_nee_sa = nee_pdf * dist * dist / jnp.maximum(cos_h, 1e-20)
             w_b = jax.lax.stop_gradient(
                 pdf_prev / jnp.maximum(pdf_prev + pdf_nee_sa, 1e-20)
             )
@@ -264,9 +321,6 @@ def trace_sample(
             "alpha": jnp.where(first & hit, 1.0, aux["alpha"]),
         }
 
-        lobes = apply_textures(
-            scene, gather_lobes(scene, mat, tables=mat_tables), mat, sp["st"]
-        )
         lobes = apply_fresnel(scene, lobes, hn, wo_view)
 
         # per-bounce randomness: two PCG4D evaluations cover light pick /
@@ -283,6 +337,8 @@ def trace_sample(
                 u_light[:, 2],
                 attr=attr,
                 meta=light_meta,
+                lt_table=light_tri,
+                attr_w=attr.shape[1],
             )
 
             p_off = offset(hp, hn)
@@ -296,7 +352,11 @@ def trace_sample(
             occ = occluded(scene, p_off, wi, jnp.where(valid, dist, 0.0))
 
             f = bsdf_f(lobes, hn, wi, wo_view)
-            light_e = emission_at(scene, ls["mat"], ls["st"], tables=mat_tables)
+            if "e" in ls:
+                # emission pre-gathered in the consolidated light-tri row
+                light_e = emission_from_row(scene, ls["e"], ls["etex"], ls["st"])
+            else:
+                light_e = emission_at(scene, ls["mat"], ls["st"], tables=mat_tables)
             cos_l = jnp.abs(dot(ls["n"], -wi))
             pdf_l = ls["pdf"] * dist * dist / jnp.maximum(cos_l, 1e-20)
             if mis:
