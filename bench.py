@@ -1,31 +1,73 @@
-"""Benchmark: forward path-tracing throughput on one chip.
+"""Benchmark: path-tracing throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Metric: wavefront rays traced per second on the Cornell-box scene
-(BASELINE.json config 2 geometry) — rays = W*H*spp*max_depth*2
-(closest + shadow per bounce; the dense wavefront really issues all of
-them). The reference publishes no numbers (BASELINE.md), so vs_baseline
-is measured against a fixed reference throughput constant recorded in
-this file (BASELINE_RAYS_PER_SEC) — an AVX2 estimate for the reference
-renderer on the same scene; update when a measured number exists.
+Headline metric (BASELINE.json: "rays/sec/chip fwd+bwd"): forward AND
+backward wavefront rays per second on the Cornell-box scene — a render
+pass plus the gradient of the pixel sum w.r.t. emission, lobe weights
+and vertex positions. rays = W*H*spp*max_depth*2 (closest + shadow per
+bounce; the dense wavefront really issues all of them).
+
+vs_baseline: the reference renderer (C++/AVX2) publishes no numbers and
+cannot be built in this container (BASELINE.md, VALIDATION.md), so the
+baseline is MEASURED here instead of guessed: the same integrator, same
+scene, same spp/depth, run on this host's CPU via the XLA CPU backend —
+a stand-in for "a well-optimized CPU wavefront tracer on the hardware
+physically attached to this chip". vs_baseline = TPU fwd+bwd rays/s
+divided by host-CPU fwd+bwd rays/s. Extra fields report the forward-only
+throughput, the measured per-scan-iteration launch floor, and an HBM
+roofline estimate (bytes-per-ray model / measured chip bandwidth) so the
+distance to speed-of-light is visible (the pipeline is launch-bound, not
+bandwidth-bound — CLAUDE.md perf rules).
 """
 from __future__ import annotations
 
+import dataclasses
+import functools
 import json
 import sys
 import time
 
 
-# Placeholder until the C++ reference can be built and timed on matched
-# hardware: a 16-thread AVX2 CPU tracer of this class typically sustains
-# ~20-40 Mrays/s on a Cornell-box scene; we take the midpoint.
-BASELINE_RAYS_PER_SEC = 30e6
-
 WIDTH = HEIGHT = 256
 SPP = 16
 MAX_DEPTH = 4
+
+# HBM traffic model: ~36 f32 of per-ray carry state (p/d/beta/radiance/
+# aux) + ~1 (rays x 128-tri chunk) intermediate crossing one fusion
+# boundary, read+written once per bounce.
+HBM_BYTES_PER_RAY = (36 * 4) * 2 + 128 * 4
+HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec)
+
+CPU_SPP = 2  # baseline measured at reduced spp, scaled by ray count
+
+
+def _timed(fn, *args, reps=2):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.time() - t0)
+    return best, out
+
+
+def _launch_floor():
+    """Per-scan-iteration overhead: a null scan body, ms/iter."""
+    import jax
+    import jax.numpy as jnp
+
+    K = 64
+    f = jax.jit(
+        lambda c: jax.lax.scan(lambda c, _: (c + 1.0, None), c, None, length=K)[0]
+    )
+    best, _ = _timed(f, jnp.float32(0), reps=3)
+    return best / K * 1e3
 
 
 def main() -> int:
@@ -40,56 +82,79 @@ def main() -> int:
     data = scene.build()
     cam = camera_to_params(scene.camera)
     # XLA brute tracer: in-pipeline fusion beats the isolated Pallas
-    # kernel win (measured: pallas 10.4 Mray/s vs xla 13.7 in-pipeline,
-    # though pallas wins 1.6x standalone — the pallas_call is a fusion
-    # barrier). Pallas stays available via use_pallas=True.
+    # kernel win (the pallas_call is a fusion barrier; see CLAUDE.md).
     tracer = make_tracer(data, use_bvh=False)
     key = jax.random.key(0)
 
-    import functools
-
-    # depth/sample unroll: the axon platform has a large per-scan-
-    # iteration overhead; unrolling measured 15.0 -> 18.0 Mrays/s
-    # (tools/tpu_unroll.py)
-    fn = jax.jit(
-        functools.partial(
-            render_pass,
-            width=WIDTH,
-            height=HEIGHT,
-            max_depth=MAX_DEPTH,
-            tracer=tracer,
-            depth_unroll=MAX_DEPTH,
-            sample_unroll=4,
-        ),
-        static_argnames=("n_samples",),
+    kw = dict(
+        width=WIDTH, height=HEIGHT, max_depth=MAX_DEPTH, tracer=tracer,
+        depth_unroll=MAX_DEPTH, sample_unroll=4,
+    )
+    fwd = jax.jit(
+        functools.partial(render_pass, **kw), static_argnames=("n_samples",)
     )
 
-    # warmup / compile — MUST use the same static n_samples as the timed
-    # call or the timed region includes a (remote) recompile
-    out = fn(data, cam, key, 0, SPP)
-    jax.block_until_ready(out)
+    def loss(params, data, key, n):
+        d2 = dataclasses.replace(data, **params)
+        return render_pass(d2, cam, key, 0, n, **kw)["color"].sum()
 
-    t0 = time.time()
-    out = fn(data, cam, key, SPP, SPP)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
+    grad = jax.jit(jax.grad(loss), static_argnames=("n",))
+    params = {
+        "emission": data.emission,
+        "lobe_weight": data.lobe_weight,
+        "vertices": data.vertices,
+    }
 
+    # warmup/compile with the SAME static args as the timed calls
     rays = WIDTH * HEIGHT * SPP * MAX_DEPTH * 2
-    rays_per_sec = rays / dt
+    t_fwd, out = _timed(lambda: fwd(data, cam, key, SPP, SPP))
+    fwd_rays = rays / t_fwd
+    t_bwd, _ = _timed(lambda: grad(params, data, key, SPP))
+    fwdbwd_rays = rays / t_bwd
 
     mean = float(np.asarray(out["color"]).mean()) / SPP
-    ok = np.isfinite(mean) and mean > 0.0
+    ok = bool(np.isfinite(mean) and mean > 0.0)
 
-    print(
-        json.dumps(
-            {
-                "metric": "cornell_fwd_rays_per_sec",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
-            }
-        )
-    )
+    floor_ms = _launch_floor()
+    hbm_roofline = HBM_GBPS * 1e9 / HBM_BYTES_PER_RAY  # rays/s if HBM-bound
+
+    # measured CPU baseline (same integrator/scene on the host CPU)
+    baseline = None
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            data_c = jax.device_put(data, cpu)
+            params_c = jax.device_put(params, cpu)
+            key_c = jax.device_put(key, cpu)
+            cam_c = jax.device_put(cam, cpu)
+
+            def loss_c(params, data, key, n):
+                d2 = dataclasses.replace(data, **params)
+                return render_pass(d2, cam_c, key, 0, n, **kw)["color"].sum()
+
+            grad_c = jax.jit(jax.grad(loss_c), static_argnames=("n",))
+            t_c, _ = _timed(lambda: grad_c(params_c, data_c, key_c, CPU_SPP), reps=1)
+            baseline = WIDTH * HEIGHT * CPU_SPP * MAX_DEPTH * 2 / t_c
+    except Exception:
+        baseline = None
+
+    result = {
+        "metric": "cornell_fwd_bwd_rays_per_sec",
+        "value": round(fwdbwd_rays, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(fwdbwd_rays / baseline, 4) if baseline else None,
+        "fwd_rays_per_sec": round(fwd_rays, 1),
+        "baseline_cpu_fwd_bwd_rays_per_sec": round(baseline, 1) if baseline else None,
+        "launch_floor_ms_per_scan_iter": round(floor_ms, 4),
+        "hbm_roofline_rays_per_sec": round(hbm_roofline, 1),
+        "roofline_note": (
+            "pipeline is launch/overhead-bound, not HBM-bound: roofline is "
+            f"{hbm_roofline / max(fwd_rays, 1):.0f}x the fwd throughput; "
+            "baseline is the same integrator measured on the host CPU "
+            "(reference C++ unbuildable here, publishes no numbers)"
+        ),
+    }
+    print(json.dumps(result))
     return 0 if ok else 1
 
 

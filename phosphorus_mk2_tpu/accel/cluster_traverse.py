@@ -220,6 +220,12 @@ def _trace(scene, p, d, t_limit, any_hit):
 
     pp = jax.lax.stop_gradient(p)
     dd = jax.lax.stop_gradient(d)
+    # the traversal is primal-only (ids/visibility; the differentiable
+    # path re-evaluates hits via reintersect) — sever t_limit too, or a
+    # tangent-carrying shadow tmax (e.g. from the consolidated light-tri
+    # rows, whose emission columns are trainable) drags the dynamic
+    # fori/while loops into the backward graph, which has no reverse rule
+    t_limit = jax.lax.stop_gradient(t_limit)
 
     kk = min(MAX_FRONT, K)
     hierarchical = K > DENSE_K and "sc_bmin" in bvh

@@ -327,7 +327,12 @@ def _eval_all_slots(lobes: dict, n, wi, wo):
         return jnp.broadcast_to(x[:, None, :], (num, L, 3)).reshape(num * L, 3)
 
     present = lobes.get("present")
-    if present and len(present) > 2 and num * L >= 4096:
+    # sorted dispatch is forward-only (dynamic fori_loop has no reverse
+    # rule); gradient paths set sorted_ok=False and take the dense eval
+    if (
+        present and len(present) > 2 and num * L >= 4096
+        and lobes.get("sorted_ok", True)
+    ):
         e, pdf = eval_lobe_sorted(
             flat_type, flat_param, tile(n), tile(wi), tile(wo), present
         )
@@ -396,9 +401,13 @@ def bsdf_sample(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, u2: jnp.ndarray):
 
     remapped = jnp.stack([u_remap, u2[..., 1]], axis=-1)
     present = lobes.get("present")
-    if present and len(present) > 2 and num >= 4096:
+    if (
+        present and len(present) > 2 and num >= 4096
+        and lobes.get("sorted_ok", True)
+    ):
         # many lobe types + big wavefront: type-sorted dispatch (the
         # reference's deferred-shading bucketing) beats dense all-types
+        # (forward-only: dynamic fori_loop has no reverse rule)
         f_s, wo, pdf = sample_lobe_sorted(
             type_sel, param_sel, n, wi, remapped, present
         )

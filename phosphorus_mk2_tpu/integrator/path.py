@@ -179,9 +179,21 @@ def trace_sample(
     depth_unroll: int = 1,
     tables: dict | None = None,
     remat: bool = False,
+    sorted_dispatch: bool = True,
+    pipeline_shadow: bool = False,
 ):
     """Trace one sample per pixel for a wavefront. Returns (radiance (N,3),
     first-hit normal (N,3), first-hit alpha (N,)).
+
+    pipeline_shadow: software-pipeline NEE — bounce b's shadow rays ride
+    in the SAME stacked trace as bounce b+1's closest-hit rays (one trace
+    kernel per bounce instead of two; the deferred contribution lands one
+    iteration later, identical values up to fp summation order). One
+    trailing any-hit trace resolves the last bounce after the scan.
+    Default OFF: measured a slight LOSS on the launch-bound brute bench
+    (48.7 vs 49.8 Mrays/s, tools/tpu_r2c_pipeline.py) — closest-hit
+    keying on the shadow half costs more than the saved launch. Kept for
+    traversal backends where per-wave fixed costs dominate.
 
     film_strata: stratify the film jitter on a d x d grid cycled by
     sample index (the reference stratifies its pixel samples over spp,
@@ -233,11 +245,29 @@ def trace_sample(
     p0, d0 = generate_rays(cam_params, pixel_x, pixel_y, film_u, lens_u)
 
     nee_enabled = scene.num_lights > 0
+    pipe = pipeline_shadow and nee_enabled
 
     def bounce(carry, b):
-        p, d, beta, radiance, alive, spec, pdf_prev, aux = carry
+        if pipe:
+            p, d, beta, radiance, alive, spec, pdf_prev, pend, aux = carry
+            # stacked trace: this bounce's closest-hit rays + the
+            # PREVIOUS bounce's NEE shadow rays in one launch
+            from phosphorus_mk2_tpu.accel.intersect import T_MAX as _TMAX
 
-        hits = closest(scene, p, d)
+            P = jnp.concatenate([p, pend["p"]], axis=0)
+            D = jnp.concatenate([d, pend["d"]], axis=0)
+            TM = jnp.concatenate(
+                [jnp.full((n,), _TMAX, jnp.float32), pend["tmax"]], axis=0
+            )
+            hits2 = closest(scene, P, D, TM)
+            hits = {k: v[:n] for k, v in hits2.items()}
+            occ_prev = hits2["hit"][n:]
+            radiance = radiance + jnp.where(
+                (pend["valid"] & ~occ_prev)[..., None], pend["contrib"], 0.0
+            )
+        else:
+            p, d, beta, radiance, alive, spec, pdf_prev, aux = carry
+            hits = closest(scene, p, d)
         tri = hits["tri"]
         hit = hits["hit"] & alive
         safe_tri = jnp.maximum(tri, 0)
@@ -321,6 +351,8 @@ def trace_sample(
             "alpha": jnp.where(first & hit, 1.0, aux["alpha"]),
         }
 
+        lobes["sorted_ok"] = sorted_dispatch  # type-sorted dispatch is
+        # forward-only (dynamic fori_loop); grad paths use the dense eval
         lobes = apply_fresnel(scene, lobes, hn, wo_view)
 
         # per-bounce randomness: two PCG4D evaluations cover light pick /
@@ -349,7 +381,8 @@ def trace_sample(
 
             same_hemi = dot(hn, wi) > 0.0
             valid = hit & same_hemi & ls["valid"]
-            occ = occluded(scene, p_off, wi, jnp.where(valid, dist, 0.0))
+            if not pipe:
+                occ = occluded(scene, p_off, wi, jnp.where(valid, dist, 0.0))
 
             f = bsdf_f(lobes, hn, wi, wo_view)
             if "e" in ls:
@@ -374,8 +407,19 @@ def trace_sample(
                 )
             else:
                 li = (light_e * 4.0) * f / jnp.maximum(pdf_l, 1e-20)[..., None]
-            use = valid & ~occ
-            radiance = radiance + jnp.where(use[..., None], beta * li, 0.0)
+            if pipe:
+                # defer: visibility resolves inside the NEXT bounce's
+                # stacked trace (or the trailing resolve after the scan)
+                pend = {
+                    "p": p_off,
+                    "d": wi,
+                    "tmax": jnp.where(valid, dist, 0.0),
+                    "contrib": jnp.where(valid[..., None], beta * li, 0.0),
+                    "valid": valid,
+                }
+            else:
+                use = valid & ~occ
+                radiance = radiance + jnp.where(use[..., None], beta * li, 0.0)
 
         # 3. Russian roulette + termination (reference terminate_path)
         depth_after = b + 1
@@ -412,6 +456,10 @@ def trace_sample(
             pdf_mix = bsdf_pdf(lobes, hn, d_next, wo_view)
             pdf_prev = jnp.where(alive_next, pdf_mix, 0.0)
 
+        if pipe:
+            return (
+                p, d, beta, radiance, alive_next, spec, pdf_prev, pend, aux
+            ), None
         return (p, d, beta, radiance, alive_next, spec, pdf_prev, aux), None
 
     aux0 = {
@@ -419,7 +467,7 @@ def trace_sample(
         "normal": jnp.zeros((n, 3), jnp.float32),
         "alpha": jnp.zeros((n,), jnp.float32),
     }
-    carry0 = (
+    carry0 = [
         p0,
         d0,
         jnp.ones((n, 3), jnp.float32),
@@ -428,11 +476,29 @@ def trace_sample(
         jnp.zeros((n,), bool),
         jnp.zeros((n,), jnp.float32),
         aux0,
-    )
+    ]
+    if pipe:
+        pend0 = {
+            "p": jnp.zeros((n, 3), jnp.float32),
+            "d": jnp.zeros((n, 3), jnp.float32),
+            "tmax": jnp.zeros((n,), jnp.float32),
+            "contrib": jnp.zeros((n, 3), jnp.float32),
+            "valid": jnp.zeros((n,), bool),
+        }
+        carry0.insert(7, pend0)
     bounce_fn = jax.checkpoint(bounce) if remat else bounce
-    (p, d, beta, radiance, alive, spec, _pdf, aux), _ = jax.lax.scan(
-        bounce_fn, carry0, jnp.arange(max_depth), unroll=depth_unroll
+    out_carry, _ = jax.lax.scan(
+        bounce_fn, tuple(carry0), jnp.arange(max_depth), unroll=depth_unroll
     )
+    if pipe:
+        radiance, pend, aux = out_carry[3], out_carry[7], out_carry[8]
+        # trailing resolve: the last bounce's shadow rays
+        occ = occluded(scene, pend["p"], pend["d"], pend["tmax"])
+        radiance = radiance + jnp.where(
+            (pend["valid"] & ~occ)[..., None], pend["contrib"], 0.0
+        )
+    else:
+        radiance, aux = out_carry[3], out_carry[7]
     return radiance, aux["normal"], aux["alpha"]
 
 
@@ -453,6 +519,8 @@ def render_pass_pixels(
     depth_unroll: int = 1,
     sample_unroll: int = 1,
     remat: bool = False,
+    sorted_dispatch: bool = True,
+    pipeline_shadow: bool = False,
 ):
     """Accumulate ``n_samples`` samples for an arbitrary pixel wavefront.
 
@@ -500,6 +568,8 @@ def render_pass_pixels(
             depth_unroll=depth_unroll,
             tables=tables,
             remat=remat,
+            sorted_dispatch=sorted_dispatch,
+            pipeline_shadow=pipeline_shadow,
         )
         if sb > 1:
             r = r.reshape(sb, n, 3).sum(axis=0)
@@ -535,6 +605,8 @@ def render_pass(
     depth_unroll: int = 1,
     sample_unroll: int = 1,
     remat: bool = False,
+    sorted_dispatch: bool = True,
+    pipeline_shadow: bool = False,
 ):
     """Accumulate ``n_samples`` samples for the full frame. Jittable."""
     n = width * height
@@ -557,6 +629,8 @@ def render_pass(
         depth_unroll=depth_unroll,
         sample_unroll=sample_unroll,
         remat=remat,
+        sorted_dispatch=sorted_dispatch,
+        pipeline_shadow=pipeline_shadow,
     )
 
 

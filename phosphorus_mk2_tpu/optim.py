@@ -93,7 +93,9 @@ class InverseRenderer:
         def loss_fn(params, scene_data, key):
             sd = dataclasses.replace(scene_data, **params)
             out = render_pass_pixels(
-                sd, cam, key, 0, spp, px, py, max_depth=max_depth, tracer=tracer
+                sd, cam, key, 0, spp, px, py, max_depth=max_depth, tracer=tracer,
+                sorted_dispatch=False,  # forward-only optimization; the
+                # dense lobe eval is the differentiable path
             )
             img = out["color"] / spp
             err = (img - target_dev) * mask_dev

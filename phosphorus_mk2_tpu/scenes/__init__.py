@@ -2,7 +2,9 @@
 
 from phosphorus_mk2_tpu.scenes.builders import (
     cornell_box,
+    make_param_surface,
     make_quad,
+    make_torus,
     make_uv_sphere,
     sphere_in_box,
     multi_bsdf_scene,
@@ -11,7 +13,9 @@ from phosphorus_mk2_tpu.scenes.builders import (
 
 __all__ = [
     "cornell_box",
+    "make_param_surface",
     "make_quad",
+    "make_torus",
     "make_uv_sphere",
     "sphere_in_box",
     "multi_bsdf_scene",

@@ -83,3 +83,38 @@ def test_gradients_match_finite_differences():
     assert np.abs(np.asarray(grads.emission)).sum() > 0
     assert np.abs(np.asarray(grads.lobe_weight)).sum() > 0
     assert np.abs(np.asarray(grads.vertices)).sum() > 0
+
+
+def test_grad_multi_type_scene_dense_dispatch():
+    """Scenes with >2 lobe types at >=4096-wavefronts route the lobe
+    eval through the type-sorted dispatch, whose dynamic fori_loop has
+    no reverse rule. sorted_dispatch=False must take the dense
+    (differentiable) eval and produce finite nonzero gradients; tmax
+    reaching the cluster tracer must stay severed (regression:
+    tangent-carrying shadow tmax via the consolidated light rows)."""
+    from phosphorus_mk2_tpu.scenes import multi_bsdf_scene
+
+    scene = multi_bsdf_scene(width=72, height=60)  # 4320 >= 4096 rays
+    data = attach_bvh(scene.build())
+    cam = camera_to_params(scene.camera)
+    tracer = make_tracer(data, use_bvh=True)
+    assert len(data.lobe_types_present) > 2
+    key = jax.random.key(2)
+
+    def loss(emission, lobe_weight):
+        d2 = dataclasses.replace(
+            data, emission=emission, lobe_weight=lobe_weight
+        )
+        out = render_pass(
+            d2, cam, key, 0, 1, width=72, height=60, max_depth=2,
+            tracer=tracer, sorted_dispatch=False,
+        )
+        return out["color"].mean()
+
+    g_e, g_w = jax.jit(jax.grad(loss, argnums=(0, 1)))(
+        data.emission, data.lobe_weight
+    )
+    assert np.isfinite(np.asarray(g_e)).all()
+    assert np.isfinite(np.asarray(g_w)).all()
+    assert np.abs(np.asarray(g_e)).max() > 0
+    assert np.abs(np.asarray(g_w)).max() > 0

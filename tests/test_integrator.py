@@ -99,3 +99,63 @@ def test_spp_batch_equivalent():
     )
     out = np.asarray(fn(data, cam, key, 0, 8)["color"])
     assert np.isfinite(out).all()
+
+
+def test_pipeline_shadow_equivalent():
+    """Pipelined NEE (shadow rays merged into the next bounce's trace)
+    produces the same image as the immediate-occlusion form up to fp
+    summation order."""
+    import functools
+
+    from phosphorus_mk2_tpu.core.camera import camera_to_params
+    from phosphorus_mk2_tpu.integrator.path import make_tracer, render_pass
+
+    scene, data = small_scene(24)
+    cam = camera_to_params(scene.camera)
+    tracer = make_tracer(data, use_bvh=False)
+    key = jax.random.key(0)
+    outs = {}
+    for pipe in (True, False):
+        fn = jax.jit(
+            functools.partial(
+                render_pass, width=24, height=24, max_depth=3,
+                tracer=tracer, pipeline_shadow=pipe,
+            ),
+            static_argnames=("n_samples",),
+        )
+        outs[pipe] = np.asarray(fn(data, cam, key, 0, 4)["color"])
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4, atol=1e-5)
+    assert outs[True].max() > 0
+
+
+def test_consolidated_hit_rows_equivalent():
+    """The per-tri fat-row tables must not change values: force them off
+    via the size gate and compare."""
+    import functools
+
+    import phosphorus_mk2_tpu.integrator.path as path_mod
+    from phosphorus_mk2_tpu.core.camera import camera_to_params
+    from phosphorus_mk2_tpu.integrator.path import make_tracer, render_pass
+
+    scene, data = small_scene(24)
+    cam = camera_to_params(scene.camera)
+    tracer = make_tracer(data, use_bvh=False)
+    key = jax.random.key(1)
+
+    def render():
+        fn = jax.jit(
+            functools.partial(
+                render_pass, width=24, height=24, max_depth=3, tracer=tracer,
+            ),
+            static_argnames=("n_samples",),
+        )
+        return np.asarray(fn(data, cam, key, 0, 4)["color"])
+
+    with_rows = render()
+    old = path_mod.HIT_ROW_MAX_TRIS
+    try:
+        path_mod.HIT_ROW_MAX_TRIS = 0  # force the un-consolidated path
+        without_rows = render()
+    finally:
+        path_mod.HIT_ROW_MAX_TRIS = old
+    np.testing.assert_array_equal(with_rows, without_rows)
