@@ -131,10 +131,22 @@ class Renderer:
             self._save_checkpoint(sums, done)
 
     def render(self) -> dict:
+        from phosphorus_mk2_tpu.utils.log import Metrics, get_logger
+
+        log = get_logger("renderer")
+        m = Metrics("render")
         film = None
         for film, done in self.passes():
+            m.inc("passes")
             if self.options.verbose:
-                print(f"  pass: {done}/{self.options.samples_per_pixel} spp")
+                log.info(f"pass {done}/{self.options.samples_per_pixel} spp")
+        if self.options.verbose and film is not None:
+            o = self.options
+            w, h = self.scene.camera.width, self.scene.camera.height
+            rays = w * h * o.samples_per_pixel * o.path_depth * 2
+            m.set("spp", o.samples_per_pixel).set("width", w).set("height", h)
+            m.set("mrays_per_s", round(rays / max(m.elapsed(), 1e-9) / 1e6, 6))
+            m.emit()
         return film
 
     # --- checkpointing ------------------------------------------------
