@@ -11,6 +11,7 @@ arrays gathered from the material tables by material id.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from phosphorus_mk2_tpu.bsdf.lobes import (
@@ -68,9 +69,12 @@ def hit_row_tables(scene, attr):
     so callers gate on scene size; the light side keeps the narrow attr
     table (a wide row for 3 values measured 13% slower there in round 1).
 
-    Returns (hit_f, hit_i, layout):
-      hit_f: (F, attr_w | emission 3 | weights Lu*3 | params Lu*P | nee_pdf 1)
-      hit_i: (F, mat 1 | types Lu | flags Lu | n_lobes 1
+    Returns (hit_f, hit_i, layout). The integer columns ride in the SAME
+    float table as exact small-int float values (all < 2^24: types,
+    flags, ids), so the whole hit side is ONE gather; hit_i is that
+    trailing block pre-sliced for callers that want it.
+      hit_f: (F, attr_w | emission 3 | weights Lu*3 | params Lu*P |
+                 nee_pdf 1 | mat 1 | types Lu | flags Lu | n_lobes 1
                  [| emission_tex 1 | lobe_tex Lu] [| normal_tex 1])
     """
     m, L = scene.lobe_type.shape
@@ -88,7 +92,6 @@ def hit_row_tables(scene, attr):
     nee = scene.tri_light_pdf
     if nee is None:
         nee = jnp.zeros((tm.shape[0],), jnp.float32)
-    hit_f = jnp.concatenate([attr, mat_f[tm], nee[:, None]], axis=1)
 
     icols = [
         tm[:, None],
@@ -102,27 +105,36 @@ def hit_row_tables(scene, attr):
         icols += [scene.emission_tex[tm][:, None], scene.lobe_tex[:, :lu][tm]]
     if has_nm:
         icols += [scene.normal_tex[tm][:, None]]
-    hit_i = jnp.concatenate(icols, axis=1)
+    hit_i = jnp.concatenate(icols, axis=1).astype(jnp.float32)
+    hit_f = jnp.concatenate([attr, mat_f[tm], nee[:, None], hit_i], axis=1)
     layout = {
         "attr_w": attr.shape[1],
         "lu": lu,
         "p": p,
         "has_tex": has_tex,
         "has_nm": has_nm,
+        "int_off": attr.shape[1] + 3 + lu * (3 + p) + 1,
     }
     return hit_f, hit_i, layout
 
 
 def unpack_hit_rows(scene, hrow, irow, layout):
     """Parse gathered consolidated rows -> (mat_id, emission (N,3),
-    lobes dict, tex dict). tex dict keys (present when textured):
-    emission_tex (N,), lobe_tex (N, Lu), normal_tex (N,)."""
+    lobes dict, tex dict). irow=None slices the float-encoded int block
+    out of hrow itself (single-gather form). tex dict keys (present when
+    textured): emission_tex (N,), lobe_tex (N, Lu), normal_tex (N,)."""
     aw, lu, p = layout["attr_w"], layout["lu"], layout["p"]
     n = hrow.shape[0]
     emission = hrow[:, aw : aw + 3]
     weight = hrow[:, aw + 3 : aw + 3 + lu * 3].reshape(n, lu, 3)
     param = hrow[:, aw + 3 + lu * 3 : aw + 3 + lu * (3 + p)].reshape(n, lu, p)
     nee_pdf = hrow[:, aw + 3 + lu * (3 + p)]
+    if irow is None:
+        # exact small-int float columns; sever the (zero) tangent before
+        # the int cast so AD never touches discrete ids
+        irow = jax.lax.stop_gradient(
+            hrow[:, layout["int_off"] :]
+        ).astype(jnp.int32)
     mat_id = irow[:, 0]
     lobes = {
         "type": irow[:, 1 : 1 + lu],

@@ -98,7 +98,16 @@ def sample_lights(
         lcount_raw = scene.light_count[light_idx]
         larea = scene.light_area[light_idx]
     else:
-        row = meta[light_idx]  # (N, 5)
+        if meta.shape[0] <= 4:
+            # a handful of lights: broadcast-select instead of a gather —
+            # a gather is a whole kernel launch on the axon platform,
+            # a <=4-way select fuses into the surrounding elementwise work
+            sel = light_idx[:, None] == jnp.arange(
+                meta.shape[0], dtype=light_idx.dtype
+            )[None, :]
+            row = jnp.sum(jnp.where(sel[:, :, None], meta[None], 0), axis=1)
+        else:
+            row = meta[light_idx]  # (N, 5)
         ltype, lmat, loffset = row[..., 0], row[..., 1], row[..., 2]
         lcount_raw = row[..., 3]
         larea = row[..., 4].view(jnp.float32)

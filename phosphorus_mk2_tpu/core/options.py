@@ -26,9 +26,15 @@ class Options:
     seed: int = 0
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0      # passes between checkpoints; 0 = off
-    max_wavefront: int = 1 << 20   # pixels per device pass; larger frames
+    max_wavefront: int = 0         # pixels per device pass; larger frames
                                    # render in sequential wavefront chunks
-                                   # (bounds HBM for 4K-class frames)
+                                   # (bounds HBM for 4K-class frames).
+                                   # 0 = auto: 1<<20 for the dense small-
+                                   # scene tracer, 1<<17 for the cluster
+                                   # tracer (its per-ray front-table sort
+                                   # temps scale with supercluster count —
+                                   # a 1M-ray wavefront OOMed 16G HBM on
+                                   # an 887k-tri scene)
     # scan/launch tuning (the axon TPU platform has a ~0.78 ms floor per
     # kernel launch/scan iteration; unrolling is how the bench reached
     # 36 Mrays/s — these flow through Renderer/make_sharded_render so

@@ -223,7 +223,6 @@ def trace_sample(
     light_meta = tables["light"]
     light_tri = tables.get("light_tri")
     hit_f = tables.get("hit_f")
-    hit_i = tables.get("hit_i")
     hit_layout = tables.get("hit_layout")
 
     seed32 = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.uint32)
@@ -273,13 +272,13 @@ def trace_sample(
         safe_tri = jnp.maximum(tri, 0)
 
         if hit_f is not None:
-            # consolidated hit side: TWO row-gathers feed the
+            # consolidated hit side: ONE row-gather feeds the
             # re-intersection, shading attrs, material lobes, emission,
-            # texture ids and the NEE-competing pdf
+            # texture ids (float-encoded int columns) and the
+            # NEE-competing pdf
             hrow = hit_f[safe_tri]
-            irow = hit_i[safe_tri]
             mat_raw, e_row, lobes_raw, nee_pdf_row, texids = unpack_hit_rows(
-                scene, hrow, irow, hit_layout
+                scene, hrow, None, hit_layout
             )
             t_hit, u, v = reintersect(scene, tri, p, d, row=hrow)
             u = jnp.where(hit, u, 0.0)

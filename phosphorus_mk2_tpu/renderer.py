@@ -51,6 +51,9 @@ class Renderer:
         sample_unroll = o.sample_unroll or (
             4 if (per_pass // max(1, o.spp_batch)) % 4 == 0 else 1
         )
+        if not o.max_wavefront:  # auto HBM bound, see Options.max_wavefront
+            cluster = o.use_bvh and self.data.num_tris > 1024
+            o.max_wavefront = (1 << 17) if cluster else (1 << 20)
         self.fn, self.px, self.py, self.n_valid = make_sharded_render(
             self.mesh,
             self.data,
