@@ -189,6 +189,10 @@ def _block_traverse(bvh, leaf_a, leaf_e0, leaf_e1, leaf_id, p, d, t0, any_hit):
 
 
 def _run_blocks(scene, p, d, t0, any_hit, block):
+    # primal-only traversal (ids/visibility; the differentiable path is
+    # reintersect) — sever inputs so the while loop never needs a
+    # reverse rule even under tangent-carrying tmax
+    p, d, t0 = jax.lax.stop_gradient((p, d, t0))
     leaf_a, leaf_e0, leaf_e1, leaf_id = _leaf_tri_tables(scene)
     n = p.shape[0]
     pad = (-n) % block

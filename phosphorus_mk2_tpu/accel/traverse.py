@@ -142,11 +142,13 @@ def _traverse_one(bvh, a, e0, e1, p, d, t0, any_hit: bool):
 def intersect_bvh(scene, p, d, tmax=None):
     """Closest-hit via BVH. Same contract as intersect_brute.
 
-    The Pallas traversal path lives in accel/pallas_wave.py (fused
-    wave kernel); this per-ray-stack version is the jnp oracle."""
+    Per-ray-stack jnp oracle (vmapped while loops); the TPU performance
+    path is accel/cluster_traverse.py. Traversal is primal-only: inputs
+    severed so its while loops never enter a backward graph."""
+    p, d = jax.lax.stop_gradient((p, d))
     a, e0, e1 = _tri_data(scene)
     n = p.shape[0]
-    t0 = jnp.full((n,), T_MAX) if tmax is None else tmax
+    t0 = jnp.full((n,), T_MAX) if tmax is None else jax.lax.stop_gradient(tmax)
     t, tri, u, v = jax.vmap(
         lambda pp, dd, tt: _traverse_one(scene.bvh, a, e0, e1, pp, dd, tt, False)
     )(p, d, t0)
@@ -155,7 +157,8 @@ def intersect_bvh(scene, p, d, tmax=None):
 
 def occluded_bvh(scene, p, d, tmax):
     """Any-hit shadow query (early-out, reference
-    stream_bvh_kernel.cpp:61)."""
+    stream_bvh_kernel.cpp:61). Primal-only, inputs severed."""
+    p, d, tmax = jax.lax.stop_gradient((p, d, tmax))
     a, e0, e1 = _tri_data(scene)
     _, tri, _, _ = jax.vmap(
         lambda pp, dd, tt: _traverse_one(scene.bvh, a, e0, e1, pp, dd, tt, True)
