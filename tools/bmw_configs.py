@@ -55,6 +55,10 @@ def config4(abc_path, res, spp, depth):
     opts = Options(
         samples_per_pixel=spp, samples_per_pass=min(4, spp), path_depth=depth,
         use_bvh=True, verbose=True,
+        # the 887k-tri cluster program at a 131k chunk is already huge;
+        # unrolling multiplies compile time (a depth-5-unrolled variant
+        # was still in remote compile after 25 min)
+        depth_unroll=1, sample_unroll=1,
     )
     t0 = time.time()
     r = Renderer(scene, opts)
