@@ -277,4 +277,36 @@ def attach_bvh(scene_data, bvh: dict | None = None):
     dev["sc_member_bmax"] = jnp.asarray(mb_max.reshape(K2, SC, 3))
     dev["sc_bmin"] = jnp.asarray(mb_min.reshape(K2, SC, 3).min(axis=1))
     dev["sc_bmax"] = jnp.asarray(mb_max.reshape(K2, SC, 3).max(axis=1))
+
+    # bf16 copies of every bounds table, rounded OUTWARD (min down, max
+    # up) so boxes only grow: slab tnear only drops and hits only get
+    # added — conservative for the front table, its horizon test and
+    # live-pruning, while halving slab-table gather bytes (the tracer's
+    # slab_bf16 tunable; final Moller-Trumbore stays f32-exact).
+    for name in ("cluster_bmin", "cluster_bmax", "sc_member_bmin",
+                 "sc_member_bmax", "sc_bmin", "sc_bmax"):
+        arr = np.asarray(dev[name])
+        up = name.endswith("bmax")
+        dev[name + "_bf16"] = jnp.asarray(
+            _bf16_outward(arr, up=up)
+        ).astype(jnp.bfloat16)
     return dataclasses.replace(scene_data, bvh=dev)
+
+
+def _bf16_outward(x: np.ndarray, up: bool) -> np.ndarray:
+    """Round f32 values to the nearest bf16 toward +inf (up) or -inf
+    (down). Returned as f32 holding exactly-bf16-representable values.
+    Sentinels are clipped inside bf16 finite range first (no infs in
+    the slab math)."""
+    x = np.ascontiguousarray(
+        np.clip(x.astype(np.float32), -3.38e38, 3.38e38)
+    )
+    bits = x.view(np.uint32)
+    t = bits & np.uint32(0xFFFF0000)  # truncate mantissa: round-to-zero
+    tv = t.view(np.float32)
+    # positive: trunc rounds down; negative: trunc rounds up (toward 0).
+    # Nudge one bf16 ulp (add 0x10000 to the bit pattern: away from 0)
+    # where truncation went the wrong way for the requested direction.
+    need = (tv < x) if up else (tv > x)
+    t = np.where(need, t + np.uint32(0x10000), t)
+    return t.view(np.float32)

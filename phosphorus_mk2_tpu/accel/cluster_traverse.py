@@ -54,6 +54,8 @@ def _cluster_rows(scene):
 
 def _slab_all(p, d, bmin, bmax):
     """(N, K) cluster slab test. Returns (hit, tnear >= 0)."""
+    bmin = bmin.astype(jnp.float32)  # bf16 tables upcast after the load
+    bmax = bmax.astype(jnp.float32)
     inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
     t0 = (bmin[None] - p[:, None]) * inv[:, None]
     t1 = (bmax[None] - p[:, None]) * inv[:, None]
@@ -126,16 +128,29 @@ SC_FRONT = 16   # supercluster table depth in hierarchical mode (p99 sc
                 # overlap is ~8; the exact fallback covers overflow)
 
 
-def _front_table_dense(pp, dd, bvh, t_limit, kk):
+def _table(bvh, name, slab_bf16):
+    """Bounds table, preferring the outward-rounded bf16 copy when the
+    slab_bf16 tunable is on (conservative: boxes only grow)."""
+    if slab_bf16 and name + "_bf16" in bvh:
+        return bvh[name + "_bf16"]
+    return bvh[name]
+
+
+def _front_table_dense(pp, dd, bvh, t_limit, kk, slab_bf16=False):
     """Dense (N, K) slab + top-k front table. Returns (ttbl, ctbl)."""
-    hit_tbl, tn_tbl = _slab_all(pp, dd, bvh["cluster_bmin"], bvh["cluster_bmax"])
+    hit_tbl, tn_tbl = _slab_all(
+        pp, dd,
+        _table(bvh, "cluster_bmin", slab_bf16),
+        _table(bvh, "cluster_bmax", slab_bf16),
+    )
     pending0 = hit_tbl & (tn_tbl < t_limit[:, None])
     tn_m0 = jnp.where(pending0, tn_tbl, T_MAX)
     neg_top, ctbl = jax.lax.top_k(-tn_m0, kk)
     return -neg_top, ctbl, jnp.float32(T_MAX)  # sc horizon: fully covered
 
 
-def _front_table_hierarchical(pp, dd, bvh, t_limit, kk):
+def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
+                              slab_bf16=False):
     """Supercluster-culled front table for big scenes: (N, K2) slab over
     supercluster bounds -> per-ray top-J superclusters -> expand each
     ray's superclusters (member-bounds row-gather, 16-wide slab) and
@@ -147,7 +162,11 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk):
     """
     from phosphorus_mk2_tpu.accel.bvh_builder import SUPER_CLUSTERS as SC
 
-    sc_hit, sc_tn = _slab_all(pp, dd, bvh["sc_bmin"], bvh["sc_bmax"])
+    sc_hit, sc_tn = _slab_all(
+        pp, dd,
+        _table(bvh, "sc_bmin", slab_bf16),
+        _table(bvh, "sc_bmax", slab_bf16),
+    )
     K2 = sc_tn.shape[1]
     jj = min(SC_FRONT, K2)
     sc_m = jnp.where(sc_hit & (sc_tn < t_limit[:, None]), sc_tn, T_MAX)
@@ -155,64 +174,97 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk):
     sc_ttbl = -sc_neg
     sc_horizon = sc_ttbl[:, -1]
 
-    mbmin = bvh["sc_member_bmin"]  # (K2, SC, 3)
-    mbmax = bvh["sc_member_bmax"]
+    mbmin = _table(bvh, "sc_member_bmin", slab_bf16)  # (K2, SC, 3)
+    mbmax = _table(bvh, "sc_member_bmax", slab_bf16)
     n = pp.shape[0]
     inv = 1.0 / jnp.where(dd == 0.0, 1e-30, dd)
 
     # collect ALL candidate member clusters first (scan, (N, jj*SC)),
     # then a SINGLE top-k — a per-iteration top-k merge measures 30x
     # slower on TPU (tools/tpu_terrain2.py: 1.16 s of a 1.21 s trace).
-    # (Batching several superclusters per scan step measured NEUTRAL —
-    # the slab math/top_k dominate, not the iteration count.)
-    def expand(_, j):
-        sc_j = sctbl[:, j]
-        live = sc_ttbl[:, j] < T_MAX
-        bmin = mbmin[jnp.where(live, sc_j, 0)]  # (N, SC, 3) row-gather
-        bmax = mbmax[jnp.where(live, sc_j, 0)]
-        t0 = (bmin - pp[:, None]) * inv[:, None]
-        t1 = (bmax - pp[:, None]) * inv[:, None]
-        tn = jnp.minimum(t0, t1).max(axis=-1)
+    # expand_batch superclusters expand per scan step (>= jj collapses
+    # the scan to ONE member-bounds row-gather — a launch-count lever;
+    # batching was NEUTRAL at round-1 shapes, re-probed per scene class).
+    B = max(1, min(expand_batch, jj))
+    G = -(-jj // B)
+    pad = G * B - jj
+    sct = jnp.pad(sctbl, ((0, 0), (0, pad)))
+    live_col = jnp.pad(sc_ttbl < T_MAX, ((0, 0), (0, pad)))
+
+    def expand(_, g):
+        sc_b = jax.lax.dynamic_slice(sct, (0, g * B), (n, B))      # (N, B)
+        live = jax.lax.dynamic_slice(live_col, (0, g * B), (n, B))
+        bmin = mbmin[jnp.where(live, sc_b, 0)].astype(jnp.float32)  # (N, B, SC, 3)
+        bmax = mbmax[jnp.where(live, sc_b, 0)].astype(jnp.float32)
+        t0 = (bmin - pp[:, None, None]) * inv[:, None, None]
+        t1 = (bmax - pp[:, None, None]) * inv[:, None, None]
+        tn = jnp.minimum(t0, t1).max(axis=-1)   # (N, B, SC)
         tf = jnp.maximum(t0, t1).min(axis=-1)
-        hit = (tn <= tf) & (tf >= 0.0) & live[:, None] & (tn < t_limit[:, None])
+        hit = (
+            (tn <= tf) & (tf >= 0.0) & live[:, :, None]
+            & (tn < t_limit[:, None, None])
+        )
         tn = jnp.where(hit, jnp.maximum(tn, 0.0), T_MAX)
-        cid = sc_j[:, None] * SC + jnp.arange(SC)[None, :]
-        return None, (tn, cid)
+        return None, tn.reshape(n, B * SC)
 
-    _, (cand_t, cand_c) = jax.lax.scan(expand, None, jnp.arange(jj))
-    cand_t = jnp.moveaxis(cand_t, 0, 1).reshape(n, jj * SC)
-    cand_c = jnp.moveaxis(cand_c, 0, 1).reshape(n, jj * SC)
+    _, cand_t = jax.lax.scan(expand, None, jnp.arange(G))
+    cand_t = jnp.moveaxis(cand_t, 0, 1).reshape(n, G * B * SC)
+    jj_cols = G * B  # selected-supercluster columns incl. padding
 
-    K = bvh["cluster_bmin"].shape[0]
-    if K < (1 << 15):
-        # key-packing sort: cluster id rides in the low mantissa bits of
-        # the (nonnegative) tnear, so ONE row-sort yields both tables
-        # with zero per-element gathers (a (N,kk) fancy-index gather
-        # here measured ~100x the sort cost on TPU). Mantissa truncation
-        # only lowers tn — conservative for the horizon test.
-        bits = jax.lax.bitcast_convert_type(cand_t, jnp.uint32)
-        packed = (bits & jnp.uint32(0xFFFF8000)) | cand_c.astype(jnp.uint32)
-        packed = jnp.sort(packed, axis=1)[:, :kk]
-        key_bits = packed & jnp.uint32(0xFFFF8000)
-        tmax_key = (
-            jax.lax.bitcast_convert_type(jnp.float32(T_MAX), jnp.uint32)
-            & jnp.uint32(0xFFFF8000)
-        )
-        ctbl = (packed & jnp.uint32(0x7FFF)).astype(jnp.int32)
-        ttbl = jnp.where(
-            key_bits >= tmax_key,
-            T_MAX,
-            jax.lax.bitcast_convert_type(key_bits, jnp.float32),
-        )
-        return ttbl, ctbl, sc_horizon
+    # key-packing sort: the candidate COLUMN index (j*SC + m < jj*SC,
+    # 8 bits at the default jj=SC=16 — independent of the cluster count
+    # K) rides in the low mantissa bits of the (nonnegative) tnear, so
+    # ONE row-sort yields both tables with zero per-element gathers (a
+    # (N,kk) fancy-index gather here measured ~100x the sort cost on
+    # TPU). The global cluster id is reconstructed after the sort with
+    # jj broadcast-selects over the per-ray supercluster table
+    # (cid = sctbl[:, col//SC]*SC + col%SC) — gather-free, and no
+    # 32767-cluster ceiling like the old id-in-key scheme. Mantissa
+    # truncation only lowers tn — conservative for the horizon test.
+    ncand = jj_cols * SC
+    nbits = max(1, (ncand - 1).bit_length())
+    key_mask = jnp.uint32(0xFFFFFFFF ^ ((1 << nbits) - 1))
+    bits = jax.lax.bitcast_convert_type(cand_t, jnp.uint32)
+    col = jnp.arange(ncand, dtype=jnp.uint32)[None, :]
+    packed = (bits & key_mask) | col
+    packed = jnp.sort(packed, axis=1)[:, :kk]
+    key_bits = packed & key_mask
+    tmax_key = (
+        jax.lax.bitcast_convert_type(jnp.float32(T_MAX), jnp.uint32)
+        & key_mask
+    )
+    col_s = (packed & jnp.uint32((1 << nbits) - 1)).astype(jnp.int32)
+    j_idx = col_s // SC
+    sc_sel = jnp.zeros_like(col_s)
+    for j in range(jj_cols):  # static <= ~2*jj: dense selects, no gather
+        sc_sel = jnp.where(j_idx == j, sct[:, j : j + 1], sc_sel)
+    ctbl = sc_sel * SC + col_s % SC
+    ttbl = jnp.where(
+        key_bits >= tmax_key,
+        T_MAX,
+        jax.lax.bitcast_convert_type(key_bits, jnp.float32),
+    )
+    return ttbl, ctbl, sc_horizon
 
-    # > 32767 clusters: plain top-k + payload gather (slower, unbounded)
-    neg, idx = jax.lax.top_k(-cand_t, kk)
-    rows = jnp.arange(n)[:, None]
-    return -neg, cand_c[rows, idx], sc_horizon
 
+def _trace(scene, p, d, t_limit, any_hit,
+           dense_waves=0, chunk=8192, dense_chunk=16384, expand_batch=1,
+           slab_bf16=False):
+    """Core trace. Tunables (defaults = round-1 measured config):
 
-def _trace(scene, p, d, t_limit, any_hit):
+    dense_waves: process the first W0 front-table columns for ALL rays
+      in one fat masked gather per chunk (launch-count lever on this
+      launch-bound platform: at mean overlap ~2.6, columns 0..3 are
+      mostly live so the masked over-gather is small, while the
+      per-wave while-loop shrinks to the straggler tail only).
+    chunk / dense_chunk: ray-chunk sizes for the straggler loop / the
+      dense phase (bigger chunk = fewer launches, more HBM per gather).
+    expand_batch: superclusters expanded per front-table step; >= jj
+      collapses the jj-step scan into ONE member-bounds row-gather.
+    slab_bf16: slab tests read the outward-rounded bf16 bounds tables
+      (half the gather bytes; conservative — boxes only grow, the MT
+      stage stays f32-exact).
+    """
     bvh = scene.bvh
     rows_tbl = _cluster_rows(scene)
     K = rows_tbl.shape[0]
@@ -230,9 +282,14 @@ def _trace(scene, p, d, t_limit, any_hit):
     kk = min(MAX_FRONT, K)
     hierarchical = K > DENSE_K and "sc_bmin" in bvh
     if hierarchical:
-        ttbl, ctbl, sc_horizon = _front_table_hierarchical(pp, dd, bvh, t_limit, kk)
+        ttbl, ctbl, sc_horizon = _front_table_hierarchical(
+            pp, dd, bvh, t_limit, kk, expand_batch=expand_batch,
+            slab_bf16=slab_bf16,
+        )
     else:
-        ttbl, ctbl, sc_horizon = _front_table_dense(pp, dd, bvh, t_limit, kk)
+        ttbl, ctbl, sc_horizon = _front_table_dense(
+            pp, dd, bvh, t_limit, kk, slab_bf16=slab_bf16
+        )
     kth_tn = jnp.minimum(ttbl[:, -1], sc_horizon)  # per-ray covered horizon
 
     # --- straggler compaction: overlap counts are known up front, so
@@ -250,13 +307,13 @@ def _trace(scene, p, d, t_limit, any_hit):
     # rays alive at wave w (sorted prefix length), (kk,)
     alive_at = (overlap[None, :] > jnp.arange(kk)[:, None]).sum(axis=1)
 
-    CH = min(8192, n)
+    CH = min(chunk, n)
     n_chunks_cap = (n + CH - 1) // CH
-    # waves per while-iteration. Measured on the 1M-tri terrain: WW=4
-    # is SLOWER (137 vs 117 ms) — at mean overlap ~2.6 the 4x masked
-    # extra row-gather work beats the iteration savings. WW=1 keeps the
-    # generalized path (results are WW-invariant: same candidate set,
-    # min-reduction).
+    # waves per while-iteration in the straggler loop. Measured on the
+    # 1M-tri terrain: WW=4 across ALL waves is SLOWER (137 vs 117 ms) —
+    # deep in the tail liveness is sparse and the 4x masked extra
+    # row-gather work beats the iteration savings. The dense_waves
+    # phase batches only the HEAD columns, where liveness is high.
     WW = 1
 
     state0 = (
@@ -265,6 +322,50 @@ def _trace(scene, p, d, t_limit, any_hit):
         jnp.zeros((n,)),
         jnp.zeros((n,)),
     )
+
+    def make_chunk(w_eff, ww, ch, p_src, d_src):
+        def chunk_fn(ci, best):
+            sbt, sbtri, sbu, sbv = best
+            start = jnp.minimum(ci * ch, n - ch)
+
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(x, start, ch)
+
+            def sl2(x):
+                return jax.lax.dynamic_slice(x, (start, w_eff), (ch, ww))
+
+            c = sl2(s_ctbl)          # (ch, ww)
+            tn_c = sl2(s_ttbl)       # (ch, ww)
+            cur = (sl(sbt), sl(sbtri), sl(sbu), sl(sbv))
+            live = (tn_c < cur[0][:, None]) & (tn_c < T_MAX)
+            if any_hit:
+                live = live & (cur[1] < 0)[:, None]
+            rows = rows_tbl[jnp.where(live, c, 0)]  # (ch, ww, 10, C)
+            C = rows.shape[-1]
+            rows = rows.transpose(0, 2, 1, 3).reshape(ch, 10, ww * C)
+            live_el = jnp.broadcast_to(
+                live[:, :, None], (ch, ww, C)
+            ).reshape(ch, ww * C)
+            new = _mt_rows(
+                jnp.stack([sl(p_src[:, 0]), sl(p_src[:, 1]), sl(p_src[:, 2])], 1),
+                jnp.stack([sl(d_src[:, 0]), sl(d_src[:, 1]), sl(d_src[:, 2])], 1),
+                rows,
+                cur,
+                live_el,
+            )
+            return tuple(
+                jax.lax.dynamic_update_slice_in_dim(full, nv, start, 0)
+                for full, nv in zip(best, new)
+            )
+
+        return chunk_fn
+
+    # --- dense head phase: columns [0, W0) for every ray, fat chunks
+    W0 = min(dense_waves, kk) if dense_waves else 0
+    if W0 > 0:
+        CHD = min(dense_chunk, n)
+        dense_fn = make_chunk(0, W0, CHD, sp_p, sp_d)
+        state0 = jax.lax.fori_loop(0, (n + CHD - 1) // CHD, dense_fn, state0)
 
     def wave_cond(carry):
         w, go = carry[0], carry[1]
@@ -276,43 +377,10 @@ def _trace(scene, p, d, t_limit, any_hit):
 
         w_eff = jnp.minimum(w, kk - WW)  # clamp: re-tested columns are
         # duplicates the min-reduction ignores
-
-        def chunk(ci, best):
-            sbt, sbtri, sbu, sbv = best
-            start = jnp.minimum(ci * CH, n - CH)
-
-            def sl(x):
-                return jax.lax.dynamic_slice_in_dim(x, start, CH)
-
-            def sl2(x):
-                return jax.lax.dynamic_slice(x, (start, w_eff), (CH, WW))
-
-            c = sl2(s_ctbl)          # (CH, WW)
-            tn_c = sl2(s_ttbl)       # (CH, WW)
-            cur = (sl(sbt), sl(sbtri), sl(sbu), sl(sbv))
-            live = (tn_c < cur[0][:, None]) & (tn_c < T_MAX)
-            if any_hit:
-                live = live & (cur[1] < 0)[:, None]
-            rows = rows_tbl[jnp.where(live, c, 0)]  # (CH, WW, 10, C)
-            C = rows.shape[-1]
-            rows = rows.transpose(0, 2, 1, 3).reshape(CH, 10, WW * C)
-            live_el = jnp.broadcast_to(
-                live[:, :, None], (CH, WW, C)
-            ).reshape(CH, WW * C)
-            new = _mt_rows(
-                jnp.stack([sl(sp_p[:, 0]), sl(sp_p[:, 1]), sl(sp_p[:, 2])], 1),
-                jnp.stack([sl(sp_d[:, 0]), sl(sp_d[:, 1]), sl(sp_d[:, 2])], 1),
-                rows,
-                cur,
-                live_el,
-            )
-            return tuple(
-                jax.lax.dynamic_update_slice_in_dim(full, nv, start, 0)
-                for full, nv in zip(best, new)
-            )
+        chunk_fn = make_chunk(w_eff, WW, CH, sp_p, sp_d)
 
         n_ch = jnp.minimum((a_w + CH - 1) // CH, n_chunks_cap)
-        best = jax.lax.fori_loop(0, n_ch, chunk, best)
+        best = jax.lax.fori_loop(0, n_ch, chunk_fn, best)
         w = w + WW
         go = w < kk
         go = go & (jax.lax.dynamic_index_in_dim(
@@ -320,8 +388,11 @@ def _trace(scene, p, d, t_limit, any_hit):
         ) > 0)
         return w, go, best
 
+    go0 = (
+        (ttbl[:, W0] < T_MAX).any() if W0 < kk else jnp.asarray(False)
+    )
     _, _, state = jax.lax.while_loop(
-        wave_cond, wave_body, (jnp.int32(0), (ttbl[:, 0] < T_MAX).any(), state0)
+        wave_cond, wave_body, (jnp.int32(W0), go0, state0)
     )
     best_t = state[0][inv]
     best_tri = state[1][inv]
@@ -389,17 +460,20 @@ def _trace(scene, p, d, t_limit, any_hit):
     return best_t, best_tri, best_u, best_v
 
 
-def intersect_clusters(scene, p, d, tmax=None):
-    """Closest-hit via the gather-wave cluster tracer."""
+def intersect_clusters(scene, p, d, tmax=None, **tune):
+    """Closest-hit via the gather-wave cluster tracer.
+
+    tune: dense_waves / chunk / dense_chunk / expand_batch (see _trace).
+    """
     n = p.shape[0]
     t0 = jnp.full((n,), T_MAX) if tmax is None else tmax
-    t, tri, u, v = _trace(scene, p, d, t0, False)
+    t, tri, u, v = _trace(scene, p, d, t0, False, **tune)
     return {"t": t, "tri": tri, "u": u, "v": v, "hit": tri >= 0}
 
 
-def occluded_clusters(scene, p, d, tmax):
+def occluded_clusters(scene, p, d, tmax, **tune):
     """Any-hit via the gather-wave cluster tracer (tmax <= 0 disables)."""
     disabled = tmax <= 0.0
     t0 = jnp.where(disabled, 1e-6, tmax)
-    _, tri, _, _ = _trace(scene, p, d, t0, True)
+    _, tri, _, _ = _trace(scene, p, d, t0, True, **tune)
     return (tri >= 0) & ~disabled

@@ -12,9 +12,10 @@ VPU. The traversal is primal-only (ids/barycentrics out, see
 accel/intersect.reintersect for the differentiable path); vertices are
 stop-gradiented here.
 
-The Pallas kernel in accel/pallas_traverse.py is the performance path;
-this implementation is its correctness oracle (the reference's
-"linear kernel" idiom, SURVEY.md §4).
+The gather-wave cluster tracer (accel/cluster_traverse.py) is the
+performance path; this implementation is a correctness oracle for
+traversal semantics (the reference's "linear kernel" idiom, SURVEY.md
+§4).
 """
 from __future__ import annotations
 

@@ -45,3 +45,8 @@ class Options:
                                    # (4 when samples_per_pass % 4 == 0)
     spp_batch: int = 1             # samples folded into one wavefront
     remat: bool = False            # jax.checkpoint the bounce body (grad)
+    tracer_tune: dict | None = None  # cluster-tracer launch-count knobs
+                                   # (dense_waves/chunk/dense_chunk/
+                                   # expand_batch/slab_bf16), see
+                                   # accel/cluster_traverse._trace; None
+                                   # = per-scene auto (measured policy)

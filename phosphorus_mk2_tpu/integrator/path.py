@@ -76,7 +76,8 @@ from phosphorus_mk2_tpu.math.vec import (
 )
 
 
-def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False, kind: str = "auto"):
+def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False,
+                kind: str = "auto", tracer_tune: dict | None = None):
     """Pick the traversal backend.
 
     kind: "auto" (cluster tracer when a BVH is attached and the scene is
@@ -84,6 +85,9 @@ def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False, kind: str
     scheduling — the TPU performance path), "block" (shared-stack block
     traversal), "per_ray" (vmapped per-ray stacks — oracle), "brute"
     (dense all-pairs — oracle / small scenes).
+    tracer_tune: cluster-tracer launch-count tunables (dense_waves /
+    chunk / dense_chunk / expand_batch / slab_bf16 — see
+    accel/cluster_traverse._trace); ignored by other backends.
     """
     has_bvh = use_bvh and scene.bvh is not None
     if kind == "auto":
@@ -100,6 +104,12 @@ def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False, kind: str
             occluded_clusters,
         )
 
+        if tracer_tune:
+            tune = dict(tracer_tune)
+            return (
+                functools.partial(intersect_clusters, **tune),
+                functools.partial(occluded_clusters, **tune),
+            )
         return intersect_clusters, occluded_clusters
 
     if kind == "block":
@@ -653,7 +663,10 @@ def render_aovs(
 
     cam_params = camera_to_params(camera)
     w, h = camera.width, camera.height
-    tracer = make_tracer(scene, options.use_bvh, options.use_pallas)
+    tracer = make_tracer(
+        scene, options.use_bvh, options.use_pallas,
+        tracer_tune=options.tracer_tune,
+    )
 
     per_pass = max(1, min(options.samples_per_pass, spp))
     import math

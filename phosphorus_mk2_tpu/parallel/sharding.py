@@ -78,6 +78,7 @@ def make_sharded_render(
     depth_unroll: int = 1,
     sample_unroll: int = 1,
     remat: bool = False,
+    tracer_tune: dict | None = None,
 ):
     """Build a jitted SPMD render-pass function.
 
@@ -92,7 +93,7 @@ def make_sharded_render(
     n_samples) -> dict of per-pixel sums sharded over the wave axis.
     """
     cam_params = camera_to_params(camera)
-    tracer = make_tracer(scene, use_bvh, use_pallas)
+    tracer = make_tracer(scene, use_bvh, use_pallas, tracer_tune=tracer_tune)
     px, py, n_valid = shard_pixels(mesh, camera.width, camera.height)
 
     wave = NamedSharding(mesh, P(mesh.axis_names))

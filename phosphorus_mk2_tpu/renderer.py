@@ -67,6 +67,7 @@ class Renderer:
             depth_unroll=depth_unroll,
             sample_unroll=sample_unroll,
             remat=o.remat,
+            tracer_tune=o.tracer_tune,
         )
         self.key = jax.random.key(self.options.seed)
 

@@ -48,7 +48,9 @@ def _random_rays(n, seed=0, spread=0.9):
 def test_bvh_matches_brute_force():
     for build in (sphere_in_box, cornell_box):
         data = attach_bvh(build().build())
-        p, d = _random_rays(256, seed=hash(build.__name__) % 1000)
+        # str hash() is salted per process — use a stable seed or the
+        # shared-edge tie rate varies run to run
+        p, d = _random_rays(256, seed=sum(build.__name__.encode()) % 1000)
         ref = intersect_brute(data, p, d)
         got = intersect_bvh(data, p, d)
         np.testing.assert_array_equal(np.asarray(got["hit"]), np.asarray(ref["hit"]))
