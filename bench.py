@@ -155,7 +155,62 @@ def main() -> int:
         ),
     }
     print(json.dumps(result))
+
+    if "--bmw" in sys.argv:
+        print(json.dumps(bmw_extra()))
     return 0 if ok else 1
+
+
+def bmw_extra() -> dict:
+    """Optional second JSON line (--bmw): steady-state throughput on the
+    BASELINE BMW-class scene (887k tris through the native Ogawa
+    importer) — the scene BASELINE.json's headline metric names. Opt-in
+    because asset build + the big cluster-program compile add minutes."""
+    import functools
+    import os
+    import sys as _sys
+
+    import jax
+    import numpy as np
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    import bmw_asset
+
+    from phosphorus_mk2_tpu.accel.bvh_builder import attach_bvh
+    from phosphorus_mk2_tpu.core.camera import camera_to_params
+    from phosphorus_mk2_tpu.integrator.path import make_tracer, render_pass
+
+    abc = "/tmp/bmw_class.abc"
+    if not os.path.exists(abc):
+        bmw_asset.write_asset(abc, scale=1.0)
+    RES, SPP, DEPTH = 512, 4, 4
+    scene = bmw_asset.load_scene(abc, RES, RES)
+    data = attach_bvh(scene.build())
+    cam = camera_to_params(scene.camera)
+    tracer = make_tracer(data, use_bvh=True)
+    fn = jax.jit(
+        functools.partial(render_pass, width=RES, height=RES,
+                          max_depth=DEPTH, tracer=tracer, depth_unroll=1),
+        static_argnames=("n_samples",),
+    )
+    key = jax.random.key(0)
+    rays = RES * RES * SPP * DEPTH * 2
+    best, out = _timed(lambda: fn(data, cam, key, 0, SPP))
+    mean = float(np.asarray(out["color"]).mean()) / SPP
+    return {
+        "metric": "bmw_fwd_rays_per_sec",
+        "value": round(rays / best, 1),
+        "unit": "rays/s",
+        "tris": int(data.faces.shape[0]),
+        "res": RES, "spp": SPP, "depth": DEPTH,
+        "mean": round(mean, 5),
+        "note": (
+            "887k-tri Ogawa-imported asset; cluster tracer measured "
+            "gather-bandwidth+top_k bound at this scale (tools/"
+            "tpu_r2h_stagesplit.py): front table 115 ms of a 258 ms "
+            "131k-ray trace, launch-count tunables neutral-to-worse"
+        ),
+    }
 
 
 if __name__ == "__main__":

@@ -265,8 +265,11 @@ def trace_sample(
 
             P = jnp.concatenate([p, pend["p"]], axis=0)
             D = jnp.concatenate([d, pend["d"]], axis=0)
+            # dead lanes trace with tmax ~ 0: the cluster tracer's
+            # overlap sort then skips them entirely (no pending
+            # clusters), so deep bounces only pay for live rays
             TM = jnp.concatenate(
-                [jnp.full((n,), _TMAX, jnp.float32), pend["tmax"]], axis=0
+                [jnp.where(alive, _TMAX, 1e-6), pend["tmax"]], axis=0
             )
             hits2 = closest(scene, P, D, TM)
             hits = {k: v[:n] for k, v in hits2.items()}
@@ -276,7 +279,10 @@ def trace_sample(
             )
         else:
             p, d, beta, radiance, alive, spec, pdf_prev, aux = carry
-            hits = closest(scene, p, d)
+            from phosphorus_mk2_tpu.accel.intersect import T_MAX as _TMAX
+
+            # dead lanes trace with tmax ~ 0 (see pipelined branch note)
+            hits = closest(scene, p, d, jnp.where(alive, _TMAX, 1e-6))
         tri = hits["tri"]
         hit = hits["hit"] & alive
         safe_tri = jnp.maximum(tri, 0)

@@ -411,6 +411,11 @@ def import_scene_data(path: str, scene: Scene) -> None:
 
         for mesh in load_obj(path):
             scene.add_mesh(mesh)
+    elif ext == ".ply":
+        from phosphorus_mk2_tpu.io.ply import load_ply
+
+        for mesh in load_ply(path):
+            scene.add_mesh(mesh)
     elif ext == ".abc":
         from phosphorus_mk2_tpu.io.alembic import import_alembic
 

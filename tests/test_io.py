@@ -300,3 +300,87 @@ def test_color_ramp_node():
     ]
     mat3 = compile_material("r3", spec)
     np.testing.assert_allclose(mat3.lobes[0].weight, (1.0, 1.0, 1.0))
+
+
+def test_ply_loader_ascii_and_binary(tmp_path):
+    """PLY (ascii + both binary endiannesses) loads the same mesh; polygon
+    faces fan-triangulate like the OBJ loader."""
+    import numpy as np
+
+    from phosphorus_mk2_tpu.io.ply import load_ply
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0], [0.5, 0.5, 1]],
+        np.float32,
+    )
+    normals = np.tile(np.array([[0, 0, 1]], np.float32), (5, 1))
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5]], np.float32)
+    polys = [[0, 1, 2, 3], [0, 1, 4]]  # quad + tri -> 3 tris
+
+    ascii_ply = tmp_path / "m.ply"
+    with open(ascii_ply, "w") as f:
+        f.write("ply\nformat ascii 1.0\ncomment test\n")
+        f.write("element vertex 5\n")
+        for p in ("x", "y", "z", "nx", "ny", "nz", "s", "t"):
+            f.write(f"property float {p}\n")
+        f.write("element face 2\n")
+        f.write("property list uchar int vertex_indices\n")
+        f.write("end_header\n")
+        for i in range(5):
+            row = list(verts[i]) + list(normals[i]) + list(uvs[i])
+            f.write(" ".join(str(float(x)) for x in row) + "\n")
+        for poly in polys:
+            f.write(f"{len(poly)} " + " ".join(map(str, poly)) + "\n")
+    (m,) = load_ply(str(ascii_ply))
+    assert m.faces.shape == (3, 3)
+    np.testing.assert_allclose(m.vertices, verts)
+    np.testing.assert_allclose(m.normals, normals)
+    np.testing.assert_allclose(m.uvs, uvs)
+    np.testing.assert_array_equal(
+        m.faces, [[0, 1, 2], [0, 2, 3], [0, 1, 4]]
+    )
+
+    for tag, bo in (("binary_little_endian", "<"), ("binary_big_endian", ">")):
+        bin_ply = tmp_path / f"m_{tag}.ply"
+        with open(bin_ply, "wb") as f:
+            hdr = (
+                f"ply\nformat {tag} 1.0\nelement vertex 5\n"
+                + "".join(
+                    f"property float {p}\n"
+                    for p in ("x", "y", "z", "nx", "ny", "nz", "s", "t")
+                )
+                + "element face 2\nproperty list uchar int vertex_indices\n"
+                + "end_header\n"
+            )
+            f.write(hdr.encode())
+            rows = np.concatenate([verts, normals, uvs], axis=1).astype(bo + "f4")
+            f.write(rows.tobytes())
+            for poly in polys:
+                f.write(np.uint8(len(poly)).tobytes())
+                f.write(np.asarray(poly, bo + "i4").tobytes())
+        (mb,) = load_ply(str(bin_ply))
+        np.testing.assert_allclose(mb.vertices, m.vertices, err_msg=tag)
+        np.testing.assert_array_equal(mb.faces, m.faces, err_msg=tag)
+        np.testing.assert_allclose(mb.uvs, m.uvs, err_msg=tag)
+
+
+def test_ply_renders_through_yaml_dispatch(tmp_path):
+    """A .ply data file renders through the scene pipeline end-to-end."""
+    import numpy as np
+
+    from phosphorus_mk2_tpu.core.scene import Scene
+    from phosphorus_mk2_tpu.io.yaml_scene import import_scene_data
+
+    ply = tmp_path / "tri.ply"
+    with open(ply, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\nelement vertex 3\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face 1\nproperty list uchar int vertex_indices\n"
+            "end_header\n"
+            "-1 -1 -2\n1 -1 -2\n0 1 -2\n3 0 1 2\n"
+        )
+    scene = Scene()
+    import_scene_data(str(ply), scene)
+    assert len(scene.meshes) == 1
+    assert scene.meshes[0].faces.shape == (1, 3)
