@@ -32,11 +32,16 @@ def main():
     out_dir = os.path.join(os.path.dirname(__file__), "..", "examples", "renders")
     os.makedirs(out_dir, exist_ok=True)
 
+    # resolutions/spp match (or exceed) the BASELINE.json config specs:
+    # config-1 sphere 128^2/16spp, config-2 cornell 256^2/64spp,
+    # config-3 multi-BSDF 512^2/256spp
     configs = [
         ("sphere_in_box", sphere_in_box(width=256, height=256), 64, 4),
         ("cornell_box", cornell_box(width=256, height=256), 64, 6),
-        ("multi_bsdf", multi_bsdf_scene(width=256, height=256), 96, 8),
+        ("multi_bsdf", multi_bsdf_scene(width=512, height=512), 256, 8),
     ]
+    if "--config3-only" in sys.argv:
+        configs = configs[2:]
     for name, scene, spp, depth in configs:
         opts = Options(
             samples_per_pixel=spp,
