@@ -1,0 +1,90 @@
+"""Production multi-host module (parallel/distributed.py).
+
+The reference discovers execution resources once at startup
+(src/xpu.cpp xpu_t::discover) and runs a pthread tile queue; the
+TPU-native equivalent is jax.distributed init + a 2-D (host, chip)
+mesh. These tests exercise that module directly on the 8-device
+virtual CPU mesh (conftest): mesh construction, comm accounting, and
+a real render through the 2-D mesh that must be bit-identical to the
+single-device render (SPMD purity).
+"""
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from phosphorus_mk2_tpu.parallel import distributed as dist
+from phosphorus_mk2_tpu.parallel.sharding import make_sharded_render
+from phosphorus_mk2_tpu.scenes import cornell_box
+
+
+def test_initialize_single_process_noop():
+    # no coordinator configured -> no-op, reports single-process topology
+    idx, cnt = dist.initialize()
+    assert (idx, cnt) == (0, 1)
+
+
+def test_make_render_mesh_2d():
+    mesh = dist.make_render_mesh(host_axis=2)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("host", "chip")
+    assert dist.wave_spec(mesh) == P(("host", "chip"))
+    assert dist.wave_sharding(mesh).spec == P(("host", "chip"))
+    assert dist.replicated_sharding(mesh).spec == P()
+
+
+def test_make_render_mesh_bad_factorization():
+    with pytest.raises(ValueError):
+        dist.make_render_mesh(host_axis=3)  # 8 devices don't factor
+
+
+def test_comm_accounting_numbers():
+    mesh = dist.make_render_mesh(host_axis=2)
+    acc = dist.comm_accounting(
+        mesh, 256, 256, n_param_floats=1000, spp=4, max_depth=3
+    )
+    # film: color(3)+normal(3)+alpha(1) f32 per pixel, once per pass
+    assert acc.film_gather_bytes == 256 * 256 * 7 * 4
+    # ring all-reduce: 2*(k-1)/k of the param buffer per participant
+    assert acc.grad_ici_bytes_per_chip == int(2 * 3 / 4 * 4000)
+    assert acc.grad_dcn_bytes_per_host == int(2 * 1 / 2 * 4000)
+    assert acc.compute_rays == 256 * 256 * 4 * 3 * 2
+    s = acc.summary()
+    assert "ICI" in s and "DCN" in s and "Mrays" in s
+
+
+def test_comm_accounting_single_host_no_dcn():
+    mesh = dist.make_render_mesh(host_axis=1)
+    acc = dist.comm_accounting(mesh, 64, 64, n_param_floats=100)
+    assert acc.grad_dcn_bytes_per_host == 0
+    assert acc.grad_ici_bytes_per_chip > 0  # 8 chips on the ICI axis
+
+
+def test_render_through_2d_mesh_bit_identical():
+    """The production (host, chip) mesh must produce the exact image the
+    single-device render does — the same property test_sharding.py pins
+    for the 1-D wave mesh, here through the distributed module's mesh
+    and make_sharded_render's multi-axis wave spec."""
+    scene = cornell_box(width=16, height=16)
+    data = scene.build()
+    key = jax.random.key(0)
+
+    mesh2 = dist.make_render_mesh(host_axis=2)
+    fn2, _, _, n_valid = make_sharded_render(
+        mesh2, data, scene.camera, max_depth=2, use_bvh=False
+    )
+    out2 = fn2(data, key, 0, 2)
+
+    mesh1 = dist.make_render_mesh(n_devices=1, host_axis=1)
+    fn1, _, _, _ = make_sharded_render(
+        mesh1, data, scene.camera, max_depth=2, use_bvh=False
+    )
+    out1 = fn1(data, key, 0, 2)
+
+    assert n_valid == 16 * 16
+    np.testing.assert_array_equal(
+        np.asarray(out2["color"]), np.asarray(out1["color"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out2["alpha"]), np.asarray(out1["alpha"])
+    )
