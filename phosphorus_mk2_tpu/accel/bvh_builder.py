@@ -31,6 +31,8 @@ SENTINEL = -1
 CLUSTER_TRIS = 128  # triangle-cluster granularity for the sorted
                     # cluster tracer (accel/cluster_traverse.py)
 SUPER_CLUSTERS = 16  # clusters per supercluster (hierarchical culling)
+DENSE_CLUSTERS = 2048  # above this the tracer goes hierarchical
+                       # (cluster_traverse.DENSE_K imports this)
 
 
 class _BuildCtx:
@@ -186,10 +188,139 @@ def build_bvh(vertices: np.ndarray, faces: np.ndarray) -> dict:
     }
 
 
-def attach_bvh(scene_data, bvh: dict | None = None):
+class _Treelets:
+    """Cut the BVH into clusters at SUBTREE boundaries instead of fixed
+    runs of DFS leaf order.
+
+    The flat chop ignores node boundaries, so a cluster can straddle two
+    distant subtrees and get a huge bounding box; subtree clusters
+    inherit the SAH builder's tight bounds, which directly cuts the
+    per-ray cluster overlap the wave loop pays for (measured on the
+    887k-tri BMW scene: mean camera-ray overlap 12.6 -> 8.5 at cluster
+    level, tools/r3_overlap.py). `hierarchy()` nests the cut — every
+    supercluster / super-supercluster is also a packed run of subtrees —
+    and pads each level to the fixed SC fan-out so the tracer's
+    stride-based id reconstruction (cluster = sc*SC + member) holds.
+    Node-order independent (explicit stacks), so the C++ builder's
+    output works too.
+    """
+
+    def __init__(self, bvh):
+        self.child = np.asarray(bvh["node_child"])
+        self.count = np.asarray(bvh["node_count"])
+        n_nodes = self.child.shape[0]
+        # post-order subtree sizes in leaf groups (explicit stack)
+        size = np.zeros(n_nodes, np.int64)
+        stack = [(0, False)]
+        while stack:
+            node, expanded = stack.pop()
+            if expanded:
+                s = 0
+                for k in range(WIDTH):
+                    c = self.child[node, k]
+                    if c < 0:
+                        continue
+                    s += 1 if self.count[node, k] > 0 else size[c]
+                size[node] = s
+                continue
+            stack.append((node, True))
+            for k in range(WIDTH):
+                c = self.child[node, k]
+                if c >= 0 and self.count[node, k] == 0:
+                    stack.append((int(c), False))
+        self.size = size
+
+    def _items(self, node):
+        """Direct children as ("g", leaf-group-id) / ("n", node-id)."""
+        items = []
+        for k in range(WIDTH):
+            c = self.child[node, k]
+            if c < 0:
+                continue
+            if self.count[node, k] > 0:
+                items.append(("g", int(c) // MAX_LEAF))
+            else:
+                items.append(("n", int(c)))
+        return items
+
+    def _groups_of(self, items):
+        """Leaf groups of an item list, DFS order."""
+        out = []
+        st = list(reversed(items))
+        while st:
+            kind, v = st.pop()
+            if kind == "g":
+                out.append(v)
+            else:
+                st.extend(reversed(self._items(v)))
+        return out
+
+    def _cut(self, items, budget):
+        """Partition an item list into consecutive packs of <= budget
+        leaf groups, opening nodes only when they exceed the budget —
+        each pack is a run of whole subtrees (tight union bounds)."""
+        parts, cur, sz = [], [], 0
+        st = list(reversed(items))
+        while st:
+            it = st.pop()
+            s = 1 if it[0] == "g" else int(self.size[it[1]])
+            if s == 0:
+                continue
+            if s > budget:
+                st.extend(reversed(self._items(it[1])))
+                continue
+            if sz + s > budget:
+                parts.append(cur)
+                cur, sz = [], 0
+            cur.append(it)
+            sz += s
+        if cur:
+            parts.append(cur)
+        return parts
+
+    def clusters(self, max_groups):
+        """Flat subtree clusters (small scenes): list of group lists."""
+        return [self._groups_of(p) for p in self._cut([("n", 0)], max_groups)]
+
+    def hierarchy(self, max_groups):
+        """Nested 3-level cut, padded to fixed SC fan-out per level.
+
+        Returns a flat cluster list (length K3*SC*SC; [] = padding slot)
+        laid out so reshaping by SC yields superclusters and
+        super-superclusters whose members are exactly the nested packs.
+        """
+        SC = SUPER_CLUSTERS
+        flat: list[list[int]] = []
+        # parent budgets carry a 3/4 margin: the child cut fills ~84% of
+        # its budget (subtree sizes don't sum to exact powers), so a
+        # full-budget parent systematically overflows SC children and
+        # splits into a nearly-empty sibling — all padding
+        for ssc_items in self._cut([("n", 0)], max_groups * SC * SC * 9 // 16):
+            sc_lists = []
+            for sc_items in self._cut(ssc_items, max_groups * SC * 3 // 4):
+                cls = [
+                    self._groups_of(p)
+                    for p in self._cut(sc_items, max_groups)
+                ]
+                for i in range(0, len(cls), SC):  # overflow: split the sc
+                    sc_lists.append(cls[i : i + SC])
+            for j in range(0, len(sc_lists), SC):  # overflow: split the ssc
+                chunk = sc_lists[j : j + SC]
+                for sc in chunk:
+                    flat.extend(sc + [[]] * (SC - len(sc)))
+                flat.extend([[]] * (SC * (SC - len(chunk))))
+        return flat
+
+
+def attach_bvh(scene_data, bvh: dict | None = None,
+               cluster_mode: str = "treelet"):
     """Return SceneData with BVH arrays attached (jnp-converted), plus
     pre-gathered leaf triangle tables (leaf-group rows of v0/e0/e1) so
     block traversal never gathers per lane.
+
+    cluster_mode: "treelet" (clusters cut at BVH subtree boundaries —
+    tight bounds, low per-ray overlap) or "flat" (fixed 128-slot runs of
+    leaf order — round-1/2 behavior, kept for A/B measurement).
 
     NOTE: the leaf tables snapshot vertex positions — like the BVH
     itself they go stale if vertices are optimized; rebuild per step for
@@ -231,13 +362,31 @@ def attach_bvh(scene_data, bvh: dict | None = None):
         valid[g, :cnt] = True
 
     C = CLUSTER_TRIS
-    total = ids2.size
-    K = max(1, -(-total // C))
-    pad = K * C - total
-    flat_ids = np.concatenate([ids2.reshape(-1), np.zeros((pad,), np.int32)])
-    flat_valid = np.concatenate([valid.reshape(-1), np.zeros((pad,), bool)])
-    cl_ids = flat_ids.reshape(K, C)
-    cl_valid = flat_valid.reshape(K, C)
+    if cluster_mode.startswith("treelet"):
+        tl = _Treelets(bvh)
+        GC = C // MAX_LEAF
+        if cluster_mode == "treelet_nested":
+            # nested layout: superclusters/super-superclusters are also
+            # subtree runs (tight at every level, but padding slots cost
+            # cluster-table memory — A/B measured vs plain treelet)
+            groups = tl.hierarchy(GC)
+        else:
+            groups = tl.clusters(GC)
+        K = max(1, len(groups))
+        cl_ids = np.zeros((K, C), np.int32)
+        cl_valid = np.zeros((K, C), bool)
+        for i, gs in enumerate(groups):
+            m = len(gs) * MAX_LEAF
+            cl_ids[i, :m] = ids2[gs].reshape(-1)
+            cl_valid[i, :m] = valid[gs].reshape(-1)
+    else:  # "flat": fixed 128-slot runs of DFS leaf order
+        total = ids2.size
+        K = max(1, -(-total // C))
+        pad = K * C - total
+        flat_ids = np.concatenate([ids2.reshape(-1), np.zeros((pad,), np.int32)])
+        flat_valid = np.concatenate([valid.reshape(-1), np.zeros((pad,), bool)])
+        cl_ids = flat_ids.reshape(K, C)
+        cl_valid = flat_valid.reshape(K, C)
 
     fc = faces[cl_ids]  # (K, C, 3)
     ca = verts[fc[..., 0]]
@@ -248,14 +397,21 @@ def attach_bvh(scene_data, bvh: dict | None = None):
     ce1 = np.where(cl_valid[..., None], ce1, 0.0)
 
     tri_pts = verts[fc]  # (K, C, 3, 3)
-    big = np.float32(3.4e38)
     masked_pts = np.where(cl_valid[..., None, None], tri_pts, np.float32(np.nan))
     with np.errstate(invalid="ignore"):
-        bmin = np.nanmin(masked_pts.reshape(K, -1, 3), axis=1)
-        bmax = np.nanmax(masked_pts.reshape(K, -1, 3), axis=1)
-    empty = ~cl_valid.any(axis=1)
-    bmin = np.where(empty[:, None], big, bmin).astype(np.float32)
-    bmax = np.where(empty[:, None], -big, bmax).astype(np.float32)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            bmin = np.nanmin(masked_pts.reshape(K, -1, 3), axis=1)
+            bmax = np.nanmax(masked_pts.reshape(K, -1, 3), axis=1)
+    # empty slots keep NaN bounds: NaN compares false in the slab test,
+    # a guaranteed miss. (An inverted box — bmin=+big, bmax=-big — is
+    # NOT a miss there: min/max swap makes it an infinite interval that
+    # hits EVERY ray, which the padded hierarchical layout would turn
+    # into thousands of phantom overlaps per ray.)
+    bmin = bmin.astype(np.float32)
+    bmax = bmax.astype(np.float32)
 
     dev["cluster_a"] = jnp.asarray(ca.astype(np.float32))
     dev["cluster_e0"] = jnp.asarray(ce0.astype(np.float32))
@@ -270,13 +426,39 @@ def attach_bvh(scene_data, bvh: dict | None = None):
     SC = SUPER_CLUSTERS
     K2 = -(-K // SC)
     pad2 = K2 * SC - K
-    big = np.float32(3.4e38)
-    mb_min = np.concatenate([bmin, np.full((pad2, 3), big, np.float32)])
-    mb_max = np.concatenate([bmax, np.full((pad2, 3), -big, np.float32)])
+    nan3 = np.full((pad2, 3), np.nan, np.float32)
+    mb_min = np.concatenate([bmin, nan3])
+    mb_max = np.concatenate([bmax, nan3])
     dev["sc_member_bmin"] = jnp.asarray(mb_min.reshape(K2, SC, 3))
     dev["sc_member_bmax"] = jnp.asarray(mb_max.reshape(K2, SC, 3))
-    dev["sc_bmin"] = jnp.asarray(mb_min.reshape(K2, SC, 3).min(axis=1))
-    dev["sc_bmax"] = jnp.asarray(mb_max.reshape(K2, SC, 3).max(axis=1))
+    import warnings
+
+    with warnings.catch_warnings():  # all-NaN (fully padded) parents
+        warnings.simplefilter("ignore", RuntimeWarning)
+        sc_bmin_np = np.nanmin(mb_min.reshape(K2, SC, 3), axis=1)
+        sc_bmax_np = np.nanmax(mb_max.reshape(K2, SC, 3), axis=1)
+    dev["sc_bmin"] = jnp.asarray(sc_bmin_np)
+    dev["sc_bmax"] = jnp.asarray(sc_bmax_np)
+
+    # ---- super-supercluster level (3-level front table): groups of SC
+    # superclusters, so the slab+select that seeds the front table runs
+    # over K3 = ceil(K2/16) columns instead of K2 (the measured top-k
+    # bottleneck at BMW scale, ARCHITECTURE.md perf log)
+    K3 = -(-K2 // SC)
+    pad3 = K3 * SC - K2
+    nan3 = np.full((pad3, 3), np.nan, np.float32)
+    m3_min = np.concatenate([sc_bmin_np, nan3])
+    m3_max = np.concatenate([sc_bmax_np, nan3])
+    dev["ssc_member_bmin"] = jnp.asarray(m3_min.reshape(K3, SC, 3))
+    dev["ssc_member_bmax"] = jnp.asarray(m3_max.reshape(K3, SC, 3))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        dev["ssc_bmin"] = jnp.asarray(
+            np.nanmin(m3_min.reshape(K3, SC, 3), axis=1)
+        )
+        dev["ssc_bmax"] = jnp.asarray(
+            np.nanmax(m3_max.reshape(K3, SC, 3), axis=1)
+        )
 
     # bf16 copies of every bounds table, rounded OUTWARD (min down, max
     # up) so boxes only grow: slab tnear only drops and hits only get
@@ -284,7 +466,9 @@ def attach_bvh(scene_data, bvh: dict | None = None):
     # live-pruning, while halving slab-table gather bytes (the tracer's
     # slab_bf16 tunable; final Moller-Trumbore stays f32-exact).
     for name in ("cluster_bmin", "cluster_bmax", "sc_member_bmin",
-                 "sc_member_bmax", "sc_bmin", "sc_bmax"):
+                 "sc_member_bmax", "sc_bmin", "sc_bmax",
+                 "ssc_member_bmin", "ssc_member_bmax",
+                 "ssc_bmin", "ssc_bmax"):
         arr = np.asarray(dev[name])
         up = name.endswith("bmax")
         dev[name + "_bf16"] = jnp.asarray(

@@ -121,9 +121,11 @@ def _mt_rows(p, d, rows, best, live):
 MAX_FRONT = 64  # per-ray front-to-back cluster table depth (top-k);
                 # rays overlapping more clusters finish in the exact
                 # fallback pass
-DENSE_K = 2048  # above this many clusters the (N, K) slab table would
-                # blow HBM; the front table is built hierarchically via
-                # superclusters instead
+from phosphorus_mk2_tpu.accel.bvh_builder import (  # noqa: E402
+    DENSE_CLUSTERS as DENSE_K,  # above this many clusters the (N, K)
+    # slab table would blow HBM; the front table is built hierarchically
+    # via superclusters instead (builder lays big scenes out nested)
+)
 SC_FRONT = 16   # supercluster table depth in hierarchical mode (p99 sc
                 # overlap is ~8; the exact fallback covers overflow)
 
@@ -149,47 +151,84 @@ def _front_table_dense(pp, dd, bvh, t_limit, kk, slab_bf16=False):
     return -neg_top, ctbl, jnp.float32(T_MAX)  # sc horizon: fully covered
 
 
-def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
-                              slab_bf16=False):
-    """Supercluster-culled front table for big scenes: (N, K2) slab over
-    supercluster bounds -> per-ray top-J superclusters -> expand each
-    ray's superclusters (member-bounds row-gather, 16-wide slab) and
-    merge into a running top-kk cluster table. All memory O(N * kk).
-
-    Returns (ttbl, ctbl, sc_horizon (N,)) — sc_horizon is the J-th
-    supercluster entry distance: clusters beyond it are NOT in the
-    table, so rays whose best hit is farther need the exact fallback.
-    """
-    from phosphorus_mk2_tpu.accel.bvh_builder import SUPER_CLUSTERS as SC
-
-    sc_hit, sc_tn = _slab_all(
-        pp, dd,
-        _table(bvh, "sc_bmin", slab_bf16),
-        _table(bvh, "sc_bmax", slab_bf16),
+def _pack_cols(cand_t, ncols):
+    """Pack the column index into the low mantissa bits of nonnegative
+    tnear keys (bit order = float order for nonneg f32). Truncation only
+    lowers tn — conservative for horizon tests. Returns (packed uint32,
+    key_mask, tmax_key, nbits)."""
+    nbits = max(1, (ncols - 1).bit_length())
+    key_mask = jnp.uint32(0xFFFFFFFF ^ ((1 << nbits) - 1))
+    bits = jax.lax.bitcast_convert_type(cand_t, jnp.uint32)
+    col = jnp.arange(ncols, dtype=jnp.uint32)[None, :]
+    packed = (bits & key_mask) | col
+    tmax_key = (
+        jax.lax.bitcast_convert_type(jnp.float32(T_MAX), jnp.uint32)
+        & key_mask
     )
-    K2 = sc_tn.shape[1]
-    jj = min(SC_FRONT, K2)
-    sc_m = jnp.where(sc_hit & (sc_tn < t_limit[:, None]), sc_tn, T_MAX)
-    sc_neg, sctbl = jax.lax.top_k(-sc_m, jj)  # (N, jj)
-    sc_ttbl = -sc_neg
-    sc_horizon = sc_ttbl[:, -1]
+    return packed, key_mask, tmax_key, nbits
 
-    mbmin = _table(bvh, "sc_member_bmin", slab_bf16)  # (K2, SC, 3)
-    mbmax = _table(bvh, "sc_member_bmax", slab_bf16)
+
+def _unpack_keys(packed, key_mask, tmax_key, nbits):
+    """Split sorted packed keys back into (tnear (…), col (…))."""
+    key_bits = packed & key_mask
+    col = (packed & jnp.uint32((1 << nbits) - 1)).astype(jnp.int32)
+    t = jnp.where(
+        key_bits >= tmax_key,
+        T_MAX,
+        jax.lax.bitcast_convert_type(key_bits, jnp.float32),
+    )
+    return t, col
+
+
+def _select_topk(cand_t, k, mode="sort"):
+    """Per-ray k nearest candidate columns of cand_t (N, M), front-to-
+    back. Returns (t (N,k), col (N,k)) with zero per-element gathers.
+
+    mode "sort": ONE packed row-sort (a (N,k) fancy-index gather here
+    measured ~100x the sort cost on TPU — pack payloads into keys).
+    mode "extract": k rounds of min-reduce + mask — O(k*M) compares but
+    no sort network; wins when M is wide and k is small (the top_k over
+    (N, K2) superclusters was 60 ms of the 258 ms BMW trace).
+    """
+    M = cand_t.shape[1]
+    packed, key_mask, tmax_key, nbits = _pack_cols(cand_t, M)
+    if mode == "extract":
+        outs = []
+        for _ in range(k):
+            m = packed.min(axis=1)
+            outs.append(m)
+            packed = jnp.where(
+                packed == m[:, None], jnp.uint32(0xFFFFFFFF), packed
+            )
+        sel = jnp.stack(outs, axis=1)  # (N, k) ascending
+    else:
+        sel = jnp.sort(packed, axis=1)[:, :k]
+    return _unpack_keys(sel, key_mask, tmax_key, nbits)
+
+
+def _expand_members(pp, dd, mbmin, mbmax, ptbl, p_ttbl, t_limit,
+                    expand_batch=1):
+    """Row-gather the member bounds of each ray's selected parents and
+    slab-test them: ptbl (N, jj) parent ids (validity = p_ttbl < T_MAX),
+    mbmin/mbmax (P, SC, 3). Returns cand_t (N, jj*SC) member tnear.
+
+    Collect ALL candidates first (scan), then ONE selection — a
+    per-iteration top-k merge measures 30x slower on TPU
+    (tools/tpu_terrain2.py: 1.16 s of a 1.21 s trace). expand_batch
+    parents expand per scan step (>= jj collapses the scan to ONE
+    member-bounds row-gather — a launch-count lever; batching was
+    NEUTRAL at round-1 shapes, re-probed per scene class).
+    """
     n = pp.shape[0]
+    jj = ptbl.shape[1]
+    SC = mbmin.shape[1]
     inv = 1.0 / jnp.where(dd == 0.0, 1e-30, dd)
 
-    # collect ALL candidate member clusters first (scan, (N, jj*SC)),
-    # then a SINGLE top-k — a per-iteration top-k merge measures 30x
-    # slower on TPU (tools/tpu_terrain2.py: 1.16 s of a 1.21 s trace).
-    # expand_batch superclusters expand per scan step (>= jj collapses
-    # the scan to ONE member-bounds row-gather — a launch-count lever;
-    # batching was NEUTRAL at round-1 shapes, re-probed per scene class).
     B = max(1, min(expand_batch, jj))
     G = -(-jj // B)
     pad = G * B - jj
-    sct = jnp.pad(sctbl, ((0, 0), (0, pad)))
-    live_col = jnp.pad(sc_ttbl < T_MAX, ((0, 0), (0, pad)))
+    sct = jnp.pad(ptbl, ((0, 0), (0, pad)))
+    live_col = jnp.pad(p_ttbl < T_MAX, ((0, 0), (0, pad)))
 
     def expand(_, g):
         sc_b = jax.lax.dynamic_slice(sct, (0, g * B), (n, B))      # (N, B)
@@ -207,50 +246,98 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
         tn = jnp.where(hit, jnp.maximum(tn, 0.0), T_MAX)
         return None, tn.reshape(n, B * SC)
 
+    if G == 1:  # no scan: a single fused gather+slab
+        _, cand_t = expand(None, jnp.int32(0))
+        return cand_t, sct
     _, cand_t = jax.lax.scan(expand, None, jnp.arange(G))
     cand_t = jnp.moveaxis(cand_t, 0, 1).reshape(n, G * B * SC)
-    jj_cols = G * B  # selected-supercluster columns incl. padding
+    return cand_t, sct
 
-    # key-packing sort: the candidate COLUMN index (j*SC + m < jj*SC,
-    # 8 bits at the default jj=SC=16 — independent of the cluster count
-    # K) rides in the low mantissa bits of the (nonnegative) tnear, so
-    # ONE row-sort yields both tables with zero per-element gathers (a
-    # (N,kk) fancy-index gather here measured ~100x the sort cost on
-    # TPU). The global cluster id is reconstructed after the sort with
-    # jj broadcast-selects over the per-ray supercluster table
-    # (cid = sctbl[:, col//SC]*SC + col%SC) — gather-free, and no
-    # 32767-cluster ceiling like the old id-in-key scheme. Mantissa
-    # truncation only lowers tn — conservative for the horizon test.
-    ncand = jj_cols * SC
-    nbits = max(1, (ncand - 1).bit_length())
-    key_mask = jnp.uint32(0xFFFFFFFF ^ ((1 << nbits) - 1))
-    bits = jax.lax.bitcast_convert_type(cand_t, jnp.uint32)
-    col = jnp.arange(ncand, dtype=jnp.uint32)[None, :]
-    packed = (bits & key_mask) | col
-    packed = jnp.sort(packed, axis=1)[:, :kk]
-    key_bits = packed & key_mask
-    tmax_key = (
-        jax.lax.bitcast_convert_type(jnp.float32(T_MAX), jnp.uint32)
-        & key_mask
+
+def _reconstruct_ids(ptbl, col, SC):
+    """Global member id from a selected candidate column: parent id from
+    the per-ray (padded) parent table via static broadcast-selects
+    (gather-free, no 32767-id ceiling), member = col % SC."""
+    j_idx = col // SC
+    sel = jnp.zeros_like(col)
+    for j in range(ptbl.shape[1]):  # static <= ~2*jj: selects, no gather
+        sel = jnp.where(j_idx == j, ptbl[:, j : j + 1], sel)
+    return sel * SC + col % SC
+
+
+def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
+                              slab_bf16=False, levels=2, sc_topk="topk"):
+    """Supercluster-culled front table for big scenes: slab the coarsest
+    level -> per-ray top-J -> expand each ray's selections (member-
+    bounds row-gather, 16-wide slab) -> next level, ending in a top-kk
+    cluster table. All memory O(N * width), never O(N * K).
+
+    levels=2: (N, K2) supercluster slab seeds the table (round-2 path).
+    levels=3: (N, K3) super-supercluster slab seeds it — the K2-wide
+    slab+top_k was the measured bottleneck at BMW scale (60 ms of
+    258 ms, ARCHITECTURE.md); K3 = K2/16 makes the seed negligible and
+    every later stage is O(N * 128) regardless of scene size.
+
+    Returns (ttbl, ctbl, horizon (N,)) — horizon is the nearest
+    not-covered entry distance across all levels: clusters beyond it
+    are NOT in the table, so rays whose best hit is farther need the
+    exact fallback.
+    """
+    from phosphorus_mk2_tpu.accel.bvh_builder import SUPER_CLUSTERS as SC
+
+    if levels >= 3 and "ssc_bmin" in bvh:
+        s3_hit, s3_tn = _slab_all(
+            pp, dd,
+            _table(bvh, "ssc_bmin", slab_bf16),
+            _table(bvh, "ssc_bmax", slab_bf16),
+        )
+        K3 = s3_tn.shape[1]
+        j3 = min(SC_FRONT, K3)
+        s3_m = jnp.where(s3_hit & (s3_tn < t_limit[:, None]), s3_tn, T_MAX)
+        s3_ttbl, s3_tbl = _select_topk(s3_m, j3, mode="extract")
+        horizon = s3_ttbl[:, -1]
+
+        sc_cand, s3_pad = _expand_members(
+            pp, dd,
+            _table(bvh, "ssc_member_bmin", slab_bf16),
+            _table(bvh, "ssc_member_bmax", slab_bf16),
+            s3_tbl, s3_ttbl, t_limit, expand_batch=SC_FRONT,
+        )
+        jj = min(SC_FRONT, sc_cand.shape[1])
+        sc_ttbl, sc_col = _select_topk(sc_cand, jj, mode=sc_topk)
+        sctbl = _reconstruct_ids(s3_pad, sc_col, SC)
+        horizon = jnp.minimum(horizon, sc_ttbl[:, -1])
+    else:
+        sc_hit, sc_tn = _slab_all(
+            pp, dd,
+            _table(bvh, "sc_bmin", slab_bf16),
+            _table(bvh, "sc_bmax", slab_bf16),
+        )
+        K2 = sc_tn.shape[1]
+        jj = min(SC_FRONT, K2)
+        sc_m = jnp.where(sc_hit & (sc_tn < t_limit[:, None]), sc_tn, T_MAX)
+        if sc_topk == "topk":
+            sc_neg, sctbl = jax.lax.top_k(-sc_m, jj)  # (N, jj)
+            sc_ttbl = -sc_neg
+        else:
+            sc_ttbl, sctbl = _select_topk(sc_m, jj, mode=sc_topk)
+        horizon = sc_ttbl[:, -1]
+
+    cand_t, sc_pad = _expand_members(
+        pp, dd,
+        _table(bvh, "sc_member_bmin", slab_bf16),
+        _table(bvh, "sc_member_bmax", slab_bf16),
+        sctbl, sc_ttbl, t_limit, expand_batch=expand_batch,
     )
-    col_s = (packed & jnp.uint32((1 << nbits) - 1)).astype(jnp.int32)
-    j_idx = col_s // SC
-    sc_sel = jnp.zeros_like(col_s)
-    for j in range(jj_cols):  # static <= ~2*jj: dense selects, no gather
-        sc_sel = jnp.where(j_idx == j, sct[:, j : j + 1], sc_sel)
-    ctbl = sc_sel * SC + col_s % SC
-    ttbl = jnp.where(
-        key_bits >= tmax_key,
-        T_MAX,
-        jax.lax.bitcast_convert_type(key_bits, jnp.float32),
-    )
-    return ttbl, ctbl, sc_horizon
+    ttbl, col = _select_topk(cand_t, kk, mode="sort")
+    ctbl = _reconstruct_ids(sc_pad, col, SC)
+    return ttbl, ctbl, horizon
 
 
 def _trace(scene, p, d, t_limit, any_hit,
            dense_waves=0, chunk=8192, dense_chunk=16384, expand_batch=1,
-           slab_bf16=False):
-    """Core trace. Tunables (defaults = round-1 measured config):
+           slab_bf16=False, front_levels=0, sc_topk="topk", front_k=0):
+    """Core trace. Tunables (defaults = measured config):
 
     dense_waves: process the first W0 front-table columns for ALL rays
       in one fat masked gather per chunk (launch-count lever on this
@@ -264,6 +351,12 @@ def _trace(scene, p, d, t_limit, any_hit,
     slab_bf16: slab tests read the outward-rounded bf16 bounds tables
       (half the gather bytes; conservative — boxes only grow, the MT
       stage stays f32-exact).
+    front_levels: hierarchy depth for the front table — 0 auto (3 when
+      the ssc tables exist and K2 is wide enough to matter, else 2),
+      or explicit 2/3 for A/B measurement.
+    sc_topk: supercluster selection primitive ("topk" = lax.top_k,
+      "sort" = packed row-sort, "extract" = k min-reduce rounds).
+    front_k: override MAX_FRONT (per-ray cluster-table depth).
     """
     bvh = scene.bvh
     rows_tbl = _cluster_rows(scene)
@@ -279,12 +372,14 @@ def _trace(scene, p, d, t_limit, any_hit,
     # fori/while loops into the backward graph, which has no reverse rule
     t_limit = jax.lax.stop_gradient(t_limit)
 
-    kk = min(MAX_FRONT, K)
+    kk = min(front_k or MAX_FRONT, K)
     hierarchical = K > DENSE_K and "sc_bmin" in bvh
     if hierarchical:
+        if front_levels == 0:  # auto (pending round-3 TPU measurement)
+            front_levels = 2
         ttbl, ctbl, sc_horizon = _front_table_hierarchical(
             pp, dd, bvh, t_limit, kk, expand_batch=expand_batch,
-            slab_bf16=slab_bf16,
+            slab_bf16=slab_bf16, levels=front_levels, sc_topk=sc_topk,
         )
     else:
         ttbl, ctbl, sc_horizon = _front_table_dense(

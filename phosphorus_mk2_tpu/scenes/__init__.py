@@ -9,6 +9,7 @@ from phosphorus_mk2_tpu.scenes.builders import (
     sphere_in_box,
     multi_bsdf_scene,
     terrain_scene,
+    textured_terrain_scene,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "sphere_in_box",
     "multi_bsdf_scene",
     "terrain_scene",
+    "textured_terrain_scene",
 ]

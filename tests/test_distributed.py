@@ -15,7 +15,7 @@ from jax.sharding import PartitionSpec as P
 
 from phosphorus_mk2_tpu.parallel import distributed as dist
 from phosphorus_mk2_tpu.parallel.sharding import make_sharded_render
-from phosphorus_mk2_tpu.scenes import cornell_box
+
 
 
 def test_initialize_single_process_noop():
@@ -60,31 +60,42 @@ def test_comm_accounting_single_host_no_dcn():
     assert acc.grad_ici_bytes_per_chip > 0  # 8 chips on the ICI axis
 
 
-def test_render_through_2d_mesh_bit_identical():
+def test_render_through_2d_mesh_bit_identical(monkeypatch):
     """The production (host, chip) mesh must produce the exact image the
     single-device render does — the same property test_sharding.py pins
     for the 1-D wave mesh, here through the distributed module's mesh
-    and make_sharded_render's multi-axis wave spec."""
-    scene = cornell_box(width=16, height=16)
-    data = scene.build()
+    and make_sharded_render's multi-axis wave spec, on the PRODUCTION
+    tracer (hierarchical cluster traversal + textures + MIS)."""
+    from phosphorus_mk2_tpu.accel import cluster_traverse as ct
+    from phosphorus_mk2_tpu.accel.bvh_builder import attach_bvh
+    from phosphorus_mk2_tpu.scenes import textured_terrain_scene
+
+    monkeypatch.setattr(ct, "DENSE_K", 8)  # force hierarchical front
+    scene = textured_terrain_scene(grid=24, width=16, height=16)
+    data = attach_bvh(scene.build())
     key = jax.random.key(0)
 
     mesh2 = dist.make_render_mesh(host_axis=2)
     fn2, _, _, n_valid = make_sharded_render(
-        mesh2, data, scene.camera, max_depth=2, use_bvh=False
+        mesh2, data, scene.camera, max_depth=2, use_bvh=True, mis=True
     )
     out2 = fn2(data, key, 0, 2)
 
     mesh1 = dist.make_render_mesh(n_devices=1, host_axis=1)
     fn1, _, _, _ = make_sharded_render(
-        mesh1, data, scene.camera, max_depth=2, use_bvh=False
+        mesh1, data, scene.camera, max_depth=2, use_bvh=True, mis=True
     )
     out1 = fn1(data, key, 0, 2)
 
     assert n_valid == 16 * 16
-    np.testing.assert_array_equal(
-        np.asarray(out2["color"]), np.asarray(out1["color"])
+    # partition-dependent fusion reorders float ops in the cluster
+    # tracer's reductions — identical to ~1e-6, not bit-identical like
+    # the brute path
+    np.testing.assert_allclose(
+        np.asarray(out2["color"]), np.asarray(out1["color"]),
+        atol=2e-5, rtol=1e-4,
     )
-    np.testing.assert_array_equal(
-        np.asarray(out2["alpha"]), np.asarray(out1["alpha"])
+    np.testing.assert_allclose(
+        np.asarray(out2["alpha"]), np.asarray(out1["alpha"]),
+        atol=2e-5, rtol=1e-4,
     )

@@ -35,7 +35,8 @@ def main():
         make_render_mesh,
         make_sharded_render,
     )
-    from phosphorus_mk2_tpu.scenes import cornell_box
+    from phosphorus_mk2_tpu.accel.bvh_builder import attach_bvh
+    from phosphorus_mk2_tpu.scenes import textured_terrain_scene
 
     initialize()  # no-op single-process; jax.distributed on a pod
 
@@ -51,8 +52,10 @@ def main():
         W = H = int(args[args.index("--res") + 1])
     SPP = 8
     DEPTH = 4
-    scene = cornell_box(width=W, height=H)
-    data = scene.build()
+    # production configuration: cluster BVH traversal + textures + MIS
+    # (round-2 verdict: the scaling harness ran only the brute tracer)
+    scene = textured_terrain_scene(grid=64, width=W, height=H)
+    data = attach_bvh(scene.build())
 
     print(f"devices available: {len(jax.devices())} x {jax.devices()[0].platform}")
     base_rate = None
@@ -64,7 +67,8 @@ def main():
             host_axis = 2
         mesh = make_render_mesh(n_dev, host_axis=host_axis)
         fn, px, py, n_valid = make_sharded_render(
-            mesh, data, scene.camera, max_depth=DEPTH, use_bvh=False
+            mesh, data, scene.camera, max_depth=DEPTH, use_bvh=True,
+            mis=True,
         )
         acct = comm_accounting(
             mesh, W, H, n_param_floats=int(np.prod(data.emission.shape)),
