@@ -195,12 +195,14 @@ def gather_lobes(scene, mat_id: jnp.ndarray, tables=None) -> dict:
 
 
 def apply_textures(
-    scene, lobes: dict, mat_id: jnp.ndarray, st: jnp.ndarray, tex=None
+    scene, lobes: dict, mat_id: jnp.ndarray, st: jnp.ndarray, tex=None,
+    footprint=None,
 ) -> dict:
     """Fold texture lookups into the per-hit lobe weights (the TPU form
     of the reference's OSL texture() closure inputs). No-op (compiled
     away) for untextured scenes. tex: optional pre-gathered (N, L)
-    lobe-texture ids (consolidated hit row)."""
+    lobe-texture ids (consolidated hit row). footprint: optional (N,)
+    uv-space sample diameter for mip filtering (core/texture.py)."""
     if not getattr(scene, "has_textures", False):
         return lobes
 
@@ -212,7 +214,10 @@ def apply_textures(
     n = mat_id.shape[0]
     flat_tex = tex.reshape(-1)
     flat_st = jnp.broadcast_to(st[:, None, :], (n, L, 2)).reshape(-1, 2)
-    factor = _sample_any(scene, flat_tex, flat_st)
+    flat_fp = None
+    if footprint is not None:
+        flat_fp = jnp.broadcast_to(footprint[:, None], (n, L)).reshape(-1)
+    factor = _sample_any(scene, flat_tex, flat_st, footprint=flat_fp)
     factor = factor.reshape(n, L, 3)
     weight = jnp.where(
         (tex >= 0)[..., None], lobes["weight"][:, :L] * factor, lobes["weight"][:, :L]
@@ -254,7 +259,7 @@ def apply_fresnel(scene, lobes: dict, n: jnp.ndarray, wi: jnp.ndarray) -> dict:
     return out
 
 
-def _sample_any(scene, tex_id, uv):
+def _sample_any(scene, tex_id, uv, footprint=None):
     """Texture sample honoring procedural textures when present (static)."""
     from phosphorus_mk2_tpu.core.texture import sample_texture, sample_texture_any
 
@@ -268,11 +273,14 @@ def _sample_any(scene, tex_id, uv):
             },
             tex_id,
             uv,
+            footprint=footprint,
         )
-    return sample_texture(scene.tex_atlas, scene.tex_info, tex_id, uv)
+    return sample_texture(scene.tex_atlas, scene.tex_info, tex_id, uv,
+                          footprint=footprint)
 
 
-def emission_at(scene, mat_id: jnp.ndarray, st: jnp.ndarray, tables=None) -> jnp.ndarray:
+def emission_at(scene, mat_id: jnp.ndarray, st: jnp.ndarray, tables=None,
+                footprint=None) -> jnp.ndarray:
     """Per-hit emission, texture-modulated when the material has an
     emission texture. (tables is accepted for signature stability but
     unused: packing emission into the wide material row made the light
@@ -283,16 +291,16 @@ def emission_at(scene, mat_id: jnp.ndarray, st: jnp.ndarray, tables=None) -> jnp
         return e
 
     t = scene.emission_tex[mat_id]
-    f = _sample_any(scene, t, st)
+    f = _sample_any(scene, t, st, footprint=footprint)
     return jnp.where((t >= 0)[..., None], e * f, e)
 
 
-def emission_from_row(scene, e, etex, st) -> jnp.ndarray:
+def emission_from_row(scene, e, etex, st, footprint=None) -> jnp.ndarray:
     """Texture-modulated emission from pre-gathered values (consolidated
     hit row): e (N,3), etex (N,) texture ids or None when untextured."""
     if not getattr(scene, "has_textures", False) or etex is None:
         return e
-    f = _sample_any(scene, etex, st)
+    f = _sample_any(scene, etex, st, footprint=footprint)
     return jnp.where((etex >= 0)[..., None], e * f, e)
 
 

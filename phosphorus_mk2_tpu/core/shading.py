@@ -108,7 +108,19 @@ def shading_parameters(
 
     st = w[..., None] * uv0 + u[..., None] * uv1 + v[..., None] * uv2
 
-    out = {"p": p, "n": n, "ng": n_geom, "st": st}
+    # uv-per-world-unit scale of the hit triangle: sqrt of the uv-area /
+    # world-area ratio — converts a world-space ray-cone footprint into a
+    # uv-space diameter for mip-level selection (core/texture.py). Dense
+    # math over values already gathered; no extra lookups.
+    e0w = b - a
+    e1w = c - a
+    area_w = jnp.linalg.norm(cross(e0w, e1w), axis=-1)
+    e0t = uv1 - uv0
+    e1t = uv2 - uv0
+    area_t = jnp.abs(e0t[..., 0] * e1t[..., 1] - e0t[..., 1] * e1t[..., 0])
+    uv_scale = jnp.sqrt(area_t / jnp.maximum(area_w, 1e-20))
+
+    out = {"p": p, "n": n, "ng": n_geom, "st": st, "uv_scale": uv_scale}
     if tans is not None:
         t0, t1, t2 = tans
         out["tangent"] = normalize(
@@ -117,11 +129,13 @@ def shading_parameters(
     return out
 
 
-def apply_normal_map(scene, sp: dict, mat: jnp.ndarray, tid=None) -> dict:
+def apply_normal_map(scene, sp: dict, mat: jnp.ndarray, tid=None,
+                     footprint=None) -> dict:
     """Perturb the shading normal by a tangent-space normal map
     (reference normal_map_node.osl + the geom:tangent attribute path,
     src/material.cpp:67-84). No-op without normal maps (static).
-    tid: optional pre-gathered normal-texture ids (consolidated hit row)."""
+    tid: optional pre-gathered normal-texture ids (consolidated hit row).
+    footprint: optional (N,) uv diameter for mip filtering."""
     if not getattr(scene, "has_normal_maps", False):
         return sp
     from phosphorus_mk2_tpu.core.texture import sample_texture
@@ -129,7 +143,8 @@ def apply_normal_map(scene, sp: dict, mat: jnp.ndarray, tid=None) -> dict:
 
     if tid is None:
         tid = scene.normal_tex[mat]
-    rgb = sample_texture(scene.tex_atlas, scene.tex_info, tid, sp["st"])
+    rgb = sample_texture(scene.tex_atlas, scene.tex_info, tid, sp["st"],
+                         footprint=footprint)
     tsn = rgb * 2.0 - 1.0
     n = sp["n"]
     t = sp.get("tangent")

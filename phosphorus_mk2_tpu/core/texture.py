@@ -69,28 +69,63 @@ def checkerboard(n=8, size=64, a=(1.0, 1.0, 1.0), b=(0.0, 0.0, 0.0)) -> Texture:
     return Texture(img.astype(np.float32), name="checker")
 
 
-def pack_textures(textures: list) -> dict:
-    """Shelf-pack textures into one atlas.
+def _downsample2(img: np.ndarray) -> np.ndarray:
+    """2x2 box-filter downsample (odd edges replicate-padded)."""
+    h, w = img.shape[:2]
+    if h % 2:
+        img = np.concatenate([img, img[-1:]], axis=0)
+        h += 1
+    if w % 2:
+        img = np.concatenate([img, img[:, -1:]], axis=1)
+        w += 1
+    return 0.25 * (
+        img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2] + img[1::2, 1::2]
+    )
 
-    Returns {"atlas": (AH, AW, 3) f32, "info": (K, 4) i32 rows
-    (y0, x0, h, w)}. K = 0 produces a 1x1 atlas so downstream shapes
-    stay valid.
+
+def build_mips(image: np.ndarray) -> list:
+    """Full mip chain [L0, L1, ...] down to 1x1 (box filter — the
+    OIIO/maketx default the reference inherits through OSL texture())."""
+    levels = [np.asarray(image, np.float32)]
+    while max(levels[-1].shape[:2]) > 1:
+        levels.append(_downsample2(levels[-1]))
+    return levels
+
+
+def pack_textures(textures: list, mips: bool = True) -> dict:
+    """Shelf-pack textures (and their mip pyramids) into one atlas.
+
+    Returns {"atlas": (AH, AW, 3) f32, "info": (K, L, 4) i32 rows
+    (y0, x0, h, w) per mip level — textures with fewer levels repeat
+    their deepest level so level indexing never branches}. K = 0
+    produces a 1x1 atlas so downstream shapes stay valid.
+
+    The reference gets mip-mapped filtering for free from OSL texture()
+    over an OIIO cache (reference src/material.cpp:127-129); here the
+    pyramid lives in the same HBM atlas and the level pair is fetched in
+    the one stacked gather sample_texture already does.
     """
     if not textures:
         return {
             "atlas": np.zeros((1, 1, 3), np.float32),
-            "info": np.zeros((1, 4), np.int32),
+            "info": np.zeros((1, 1, 4), np.int32),
             "proc": np.zeros((1,), np.int32),
             "proc_params": np.zeros((1, 4), np.float32),
         }
-    max_w = max(t.image.shape[1] for t in textures)
+    pyramids = [
+        build_mips(t.image) if mips else [np.asarray(t.image, np.float32)]
+        for t in textures
+    ]
+    n_levels = max(len(p) for p in pyramids)
+    flat_imgs = [img for p in pyramids for img in p]
+    max_w = max(i.shape[1] for i in flat_imgs)
     atlas_w = max(256, 1 << int(np.ceil(np.log2(max_w))))
-    # shelf packing
+    # shelf packing over every (texture, level) image
     shelves: list = []  # (y0, height, x_cursor)
     placements = []
     atlas_h = 0
-    for t in textures:
-        h, w = t.image.shape[:2]
+    for img in flat_imgs:
+        h, w = img.shape[:2]
         placed = False
         for s in shelves:
             if s[1] >= h and s[2] + w <= atlas_w:
@@ -103,25 +138,23 @@ def pack_textures(textures: list) -> dict:
             placements.append((atlas_h, 0, h, w))
             atlas_h += h
     atlas = np.zeros((atlas_h, atlas_w, 3), np.float32)
-    info = np.zeros((len(textures), 4), np.int32)
+    info = np.zeros((len(textures), n_levels, 4), np.int32)
     proc = np.zeros((len(textures),), np.int32)
     proc_params = np.zeros((len(textures), 4), np.float32)
-    for i, (t, (y0, x0, h, w)) in enumerate(zip(textures, placements)):
-        atlas[y0 : y0 + h, x0 : x0 + w] = t.image
-        info[i] = (y0, x0, h, w)
+    it = iter(zip(flat_imgs, placements))
+    for i, (t, pyr) in enumerate(zip(textures, pyramids)):
+        for lv in range(n_levels):
+            if lv < len(pyr):
+                img, (y0, x0, h, w) = next(it)
+                atlas[y0 : y0 + h, x0 : x0 + w] = img
+            info[i, lv] = (y0, x0, h, w)  # deeper-than-chain: repeat last
         proc[i] = t.procedural
         proc_params[i] = t.proc_params
     return {"atlas": atlas, "info": info, "proc": proc, "proc_params": proc_params}
 
 
-def sample_texture(atlas: jnp.ndarray, info: jnp.ndarray, tex_id, uv):
-    """Bilinear atlas sample.
-
-    tex_id: (N,) int32 (clamped >= 0 by caller; callers mask by
-    tex_id >= 0). uv: (N, 2) in [0, inf) — repeat wrapped.
-    Returns (N, 3).
-    """
-    row = info[jnp.maximum(tex_id, 0)]
+def _bilinear_idx_weights(row, uv, aw):
+    """Flat atlas indices (…, 4) + bilinear weights for one mip row."""
     y0 = row[..., 0].astype(jnp.float32)
     x0 = row[..., 1].astype(jnp.float32)
     h = row[..., 2].astype(jnp.float32)
@@ -137,14 +170,6 @@ def sample_texture(atlas: jnp.ndarray, info: jnp.ndarray, tex_id, uv):
     tx = fx - ix
     ty = fy - iy
 
-    # ONE stacked gather for all four bilinear texels instead of four
-    # per-texel gathers: on the axon TPU platform every gather is a
-    # separate kernel launch and launches dominate the textured pipeline
-    # (tools/tpu_r2_probe.py: textured 22.4 vs untextured 36.9 Mrays/s
-    # with the 4-gather form)
-    aw = atlas.shape[1]
-    flat = atlas.reshape(-1, atlas.shape[-1])
-
     def flat_idx(ix_, iy_):
         xw = (ix_ % w) + x0
         yw = (iy_ % h) + y0
@@ -159,16 +184,65 @@ def sample_texture(atlas: jnp.ndarray, info: jnp.ndarray, tex_id, uv):
         ],
         axis=-1,
     )  # (..., 4)
-    texels = flat[idx]  # (..., 4, 3)
-    c00, c10, c01, c11 = (
-        texels[..., 0, :],
-        texels[..., 1, :],
-        texels[..., 2, :],
-        texels[..., 3, :],
+    wts = jnp.stack(
+        [
+            (1 - tx) * (1 - ty),
+            tx * (1 - ty),
+            (1 - tx) * ty,
+            tx * ty,
+        ],
+        axis=-1,
     )
-    top = c00 * (1 - tx)[..., None] + c10 * tx[..., None]
-    bot = c01 * (1 - tx)[..., None] + c11 * tx[..., None]
-    return top * (1 - ty)[..., None] + bot * ty[..., None]
+    return idx, wts
+
+
+def sample_texture(atlas: jnp.ndarray, info: jnp.ndarray, tex_id, uv,
+                   footprint=None):
+    """Bilinear (footprint=None) or trilinear-mip atlas sample.
+
+    tex_id: (N,) int32 (clamped >= 0 by caller; callers mask by
+    tex_id >= 0). uv: (N, 2) in [0, inf) — repeat wrapped.
+    footprint: optional (N,) uv-space sample diameter (ray-cone width x
+    per-triangle uv scale); selects the mip level pair whose texel pitch
+    brackets it, like OSL texture() over an OIIO cache does for the
+    reference (src/material.cpp:127-129). Returns (N, 3).
+
+    All texels of both levels ride in ONE stacked gather — on the axon
+    TPU platform every gather is a separate kernel launch and launches
+    dominate the textured pipeline (tools/tpu_r2_probe.py: 22.4 vs
+    36.9 Mrays/s with the 4-gather form; trilinear costs one 8-wide
+    gather, not two 4-wide ones).
+    """
+    if info.ndim == 2:  # legacy single-level table
+        info = info[:, None]
+    aw = atlas.shape[1]
+    flat = atlas.reshape(-1, atlas.shape[-1])
+    rows = info[jnp.maximum(tex_id, 0)]  # (N, L, 4)
+    n_levels = info.shape[1]
+
+    if footprint is None or n_levels == 1:
+        idx, wts = _bilinear_idx_weights(rows[:, 0], uv, aw)
+        texels = flat[idx]  # (..., 4, 3)
+        return (texels * wts[..., None]).sum(axis=-2)
+
+    # level from footprint: texel pitch at level l is 2^l / base_size
+    base = jnp.maximum(
+        rows[:, 0, 2], rows[:, 0, 3]
+    ).astype(jnp.float32)  # level-0 resolution
+    lod = jnp.log2(jnp.maximum(footprint, 1e-20) * base)
+    lod = jnp.clip(lod, 0.0, n_levels - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_levels - 1)
+    tl = (lod - l0.astype(jnp.float32))[..., None]
+
+    nrows = jnp.arange(rows.shape[0])
+    idx0, w0 = _bilinear_idx_weights(rows[nrows, l0], uv, aw)
+    idx1, w1 = _bilinear_idx_weights(rows[nrows, l1], uv, aw)
+    idx = jnp.concatenate([idx0, idx1], axis=-1)  # (..., 8)
+    texels = flat[idx]  # ONE stacked gather for both levels
+    c0 = (texels[..., :4, :] * w0[..., None]).sum(axis=-2)
+    c1 = (texels[..., 4:, :] * w1[..., None]).sum(axis=-2)
+    return c0 * (1.0 - tl) + c1 * tl
 
 
 def direction_to_latlong_uv(d: jnp.ndarray) -> jnp.ndarray:
@@ -227,12 +301,14 @@ def musgrave_noise(uv: jnp.ndarray, scale, octaves: int, lacunarity, gain):
     return out / jnp.maximum(norm, 1e-9)
 
 
-def sample_texture_any(tex_tables: dict, tex_id, uv):
+def sample_texture_any(tex_tables: dict, tex_id, uv, footprint=None):
     """Image-or-procedural texture sample. tex_tables holds atlas/info/
     proc/proc_params (jnp). Returns (N, 3). Callers gate on the scene's
     static has_procedural flag so image-only scenes never build the
-    noise graph."""
-    img = sample_texture(tex_tables["atlas"], tex_tables["info"], tex_id, uv)
+    noise graph. (Procedurals are evaluated analytically and not
+    band-limited; footprint only filters image textures.)"""
+    img = sample_texture(tex_tables["atlas"], tex_tables["info"], tex_id, uv,
+                         footprint=footprint)
     proc = tex_tables["proc"][jnp.maximum(tex_id, 0)]
     pp = tex_tables["proc_params"][jnp.maximum(tex_id, 0)]
     rnd = value_noise(uv, pp[..., 0:1])

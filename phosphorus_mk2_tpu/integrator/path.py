@@ -174,6 +174,19 @@ def make_scene_tables(scene) -> dict:
     return tables
 
 
+def _footprint(aux, t_hit, sp, d, spread):
+    """uv-space sample diameter at this hit: ray-cone width (angular
+    spread x camera->vertex distance) x the triangle's uv-per-world
+    scale, stretched by 1/sqrt(|cos|) at grazing incidence (the
+    geometric mean of the anisotropic footprint's two axes — the
+    isotropic stand-in for OIIO's anisotropic filter). Primal-only
+    (mip selection must not carry tangents)."""
+    dist = aux["plen"] + jax.lax.stop_gradient(t_hit)
+    cos_i = jnp.abs((sp["ng"] * d).sum(axis=-1))
+    graze = 1.0 / jnp.sqrt(jnp.maximum(cos_i, 1e-2))
+    return (dist * spread * graze) * jax.lax.stop_gradient(sp["uv_scale"])
+
+
 def trace_sample(
     scene,
     cam_params,
@@ -253,6 +266,19 @@ def trace_sample(
 
     p0, d0 = generate_rays(cam_params, pixel_x, pixel_y, film_u, lens_u)
 
+    # ray-cone angular spread: one pixel's angle at the image center
+    # (zoom/height radians) — drives uv-footprint mip selection like the
+    # reference's OSL texture() derivatives over an OIIO cache
+    # (src/material.cpp:127-129). Footprints are primal-only.
+    filtered_tex = getattr(scene, "has_textures", False) and (
+        getattr(scene, "tex_info", None) is not None
+        and scene.tex_info.ndim == 3 and scene.tex_info.shape[1] > 1
+    )
+    if filtered_tex:
+        cone_spread = jax.lax.stop_gradient(
+            1.12 * jnp.tan(cam_params["fov"] * 0.5) / cam_params["height"]
+        )
+
     nee_enabled = scene.num_lights > 0
     pipe = pipeline_shadow and nee_enabled
 
@@ -303,13 +329,18 @@ def trace_sample(
             mat = jnp.where(hit, mat_raw, 0)
             wo_view = -d
             n_interp = sp["n"]
-            sp = apply_normal_map(scene, sp, mat, tid=texids.get("normal_tex"))
+            fp = (_footprint(aux, t_hit, sp, d, cone_spread)
+                  if filtered_tex else None)
+            sp = apply_normal_map(scene, sp, mat, tid=texids.get("normal_tex"),
+                                  footprint=fp)
             hp, hn = sp["p"], sp["n"]
             e_hit = emission_from_row(
-                scene, e_row, texids.get("emission_tex"), sp["st"]
+                scene, e_row, texids.get("emission_tex"), sp["st"],
+                footprint=fp,
             )
             lobes = apply_textures(
-                scene, lobes_raw, mat, sp["st"], tex=texids.get("lobe_tex")
+                scene, lobes_raw, mat, sp["st"], tex=texids.get("lobe_tex"),
+                footprint=fp,
             )
         else:
             # differentiable re-evaluation of the hit point
@@ -321,11 +352,15 @@ def trace_sample(
             mat = jnp.where(hit, scene.tri_mat[safe_tri], 0)
             n_interp = sp["n"]  # pre-normal-map interpolated normal: the
             # cosine convention sample_lights uses on the NEE side
-            sp = apply_normal_map(scene, sp, mat)
+            fp = (_footprint(aux, t_hit, sp, d, cone_spread)
+                  if filtered_tex else None)
+            sp = apply_normal_map(scene, sp, mat, footprint=fp)
             hp, hn = sp["p"], sp["n"]
-            e_hit = emission_at(scene, mat, sp["st"], tables=mat_tables)
+            e_hit = emission_at(scene, mat, sp["st"], tables=mat_tables,
+                                footprint=fp)
             lobes = apply_textures(
-                scene, gather_lobes(scene, mat, tables=mat_tables), mat, sp["st"]
+                scene, gather_lobes(scene, mat, tables=mat_tables), mat,
+                sp["st"], footprint=fp,
             )
 
         # 1. emission at first/specular vertices; env on miss
@@ -360,11 +395,16 @@ def trace_sample(
 
         # record first-hit AOVs
         first = aux["first"] & alive
-        aux = {
+        aux_next = {
             "first": aux["first"] & ~alive,  # only bounce 0 has alive=first
             "normal": jnp.where((first & hit)[..., None], hn, aux["normal"]),
             "alpha": jnp.where(first & hit, 1.0, aux["alpha"]),
         }
+        if filtered_tex:  # accumulated camera->vertex distance (ray cone)
+            aux_next["plen"] = aux["plen"] + jnp.where(
+                hit, jax.lax.stop_gradient(t_hit), 0.0
+            )
+        aux = aux_next
 
         lobes["sorted_ok"] = sorted_dispatch  # type-sorted dispatch is
         # forward-only (dynamic fori_loop); grad paths use the dense eval
@@ -479,6 +519,7 @@ def trace_sample(
 
     aux0 = {
         "first": jnp.ones((n,), bool),
+        **({"plen": jnp.zeros((n,))} if filtered_tex else {}),
         "normal": jnp.zeros((n, 3), jnp.float32),
         "alpha": jnp.zeros((n,), jnp.float32),
     }

@@ -147,3 +147,84 @@ def test_procedural_noise_textures():
     out1 = np.asarray(sample_texture_any(tables, jnp.ones(uv.shape[0], jnp.int32), uv))
     assert out0.std() > 0.05 and out1.std() > 0.02
     assert not np.allclose(out0, out1)
+
+
+def test_build_mips_box_filter():
+    from phosphorus_mk2_tpu.core.texture import build_mips
+
+    img = np.zeros((4, 4, 3), np.float32)
+    img[0, 0] = 1.0  # one bright texel
+    levels = build_mips(img)
+    assert [lv.shape[:2] for lv in levels] == [(4, 4), (2, 2), (1, 1)]
+    np.testing.assert_allclose(levels[1][0, 0], 0.25)  # 2x2 box avg
+    np.testing.assert_allclose(levels[2][0, 0], 1.0 / 16.0)
+    # odd dimensions replicate-pad instead of crashing
+    odd = build_mips(np.ones((5, 3, 3), np.float32))
+    assert odd[-1].shape[:2] == (1, 1)
+    np.testing.assert_allclose(odd[-1], 1.0)
+
+
+def test_mip_footprint_selects_levels():
+    from phosphorus_mk2_tpu.core.texture import pack_textures, sample_texture
+
+    t = checkerboard(n=8, size=32, a=(1, 1, 1), b=(0, 0, 0))
+    packed = pack_textures([t])
+    atlas = jnp.asarray(packed["atlas"])
+    info = jnp.asarray(packed["info"])
+    assert info.shape == (1, 6, 4)  # 32 -> 16 -> 8 -> 4 -> 2 -> 1
+
+    n = 256
+    key_uv = np.random.default_rng(3).uniform(0, 1, (n, 2)).astype(np.float32)
+    uv = jnp.asarray(key_uv)
+    tid = jnp.zeros((n,), jnp.int32)
+
+    # tiny footprint == unfiltered bilinear (level 0)
+    tiny = sample_texture(atlas, info, tid, uv,
+                          footprint=jnp.full((n,), 1e-6))
+    base = sample_texture(atlas, info, tid, uv)
+    np.testing.assert_allclose(np.asarray(tiny), np.asarray(base), atol=1e-6)
+
+    # huge footprint == deepest level == global mean (0.5 checker)
+    huge = sample_texture(atlas, info, tid, uv,
+                          footprint=jnp.full((n,), 10.0))
+    np.testing.assert_allclose(np.asarray(huge), 0.5, atol=1e-6)
+
+    # monotone: filtered variance shrinks as footprint grows
+    v = []
+    for f in (1e-6, 0.1, 0.5):
+        s = sample_texture(atlas, info, tid, uv, footprint=jnp.full((n,), f))
+        v.append(float(np.asarray(s).var()))
+    assert v[0] > v[1] > v[2]
+
+
+def test_textured_render_minification_filtered():
+    """A strongly minified checker renders with far less pixel-to-pixel
+    aliasing when the mip chain is on; disabling it (slicing tex_info to
+    level 0) reproduces the round-2 unfiltered behavior."""
+    import dataclasses
+
+    from phosphorus_mk2_tpu.core.options import Options
+    from phosphorus_mk2_tpu.integrator.path import render_aovs
+
+    scene = _textured_quad_scene(res=32)
+    # re-texture with a fine checker so one pixel spans many cells
+    scene.textures[0] = checkerboard(n=64, size=128, a=(1, 1, 1), b=(0, 0, 0))
+    data = scene.build()
+    assert data.tex_info.ndim == 3 and data.tex_info.shape[1] > 1
+
+    opts = Options(use_bvh=False, samples_per_pass=1)
+    img_f = np.asarray(
+        render_aovs(data, scene.camera, spp=1, max_depth=2, options=opts)["color"]
+    )
+    data0 = dataclasses.replace(data, tex_info=data.tex_info[:, :1])
+    img_u = np.asarray(
+        render_aovs(data0, scene.camera, spp=1, max_depth=2, options=opts)["color"]
+    )
+
+    def grad_energy(im):
+        g = np.abs(np.diff(im, axis=0)).sum() + np.abs(np.diff(im, axis=1)).sum()
+        return float(g)
+
+    assert np.isfinite(img_f).all() and np.isfinite(img_u).all()
+    # the filtered image must be substantially smoother
+    assert grad_energy(img_f) < 0.6 * grad_energy(img_u)
