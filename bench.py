@@ -138,6 +138,65 @@ def main() -> int:
     except Exception:
         baseline = None
 
+    # --- second always-on line: the PRODUCTION path (Renderer + cluster
+    # BVH traversal), so a traversal regression moves BENCH_r*.json even
+    # though the headline line uses the brute tracer (round-2 verdict
+    # item 4). Timed via the Renderer's own jitted sharded pass fn.
+    bvh_line = None
+    try:
+        from phosphorus_mk2_tpu.core.options import Options
+        from phosphorus_mk2_tpu.renderer import Renderer
+
+        scene_b = cornell_box(width=WIDTH, height=HEIGHT)
+        opts = Options(
+            use_bvh=True, samples_per_pixel=SPP, samples_per_pass=SPP,
+            path_depth=MAX_DEPTH,
+        )
+        r = Renderer(scene_b, opts)
+        t_bvh, out_b = _timed(lambda: r.fn(r.data, r.key, 0, SPP))
+        bvh_rays = rays / t_bvh
+        mean_b = float(np.asarray(out_b["color"]).mean()) / SPP
+        ok = ok and bool(np.isfinite(mean_b) and mean_b > 0.0)
+
+        bvh_baseline = None
+        with jax.default_device(jax.devices("cpu")[0]):
+            data_b = jax.device_put(r.data, jax.devices("cpu")[0])
+            cam_b = jax.device_put(cam, jax.devices("cpu")[0])
+            tr_c = make_tracer(data_b, use_bvh=True)
+            fwd_c = jax.jit(
+                functools.partial(
+                    render_pass, width=WIDTH, height=HEIGHT,
+                    max_depth=MAX_DEPTH, tracer=tr_c, depth_unroll=1,
+                ),
+                static_argnames=("n_samples",),
+            )
+            t_cb, _ = _timed(
+                lambda: fwd_c(data_b, cam_b, jax.device_put(
+                    key, jax.devices("cpu")[0]), 0, CPU_SPP),
+                reps=1,
+            )
+            bvh_baseline = WIDTH * HEIGHT * CPU_SPP * MAX_DEPTH * 2 / t_cb
+        bvh_line = {
+            "metric": "cornell_bvh_renderer_fwd_rays_per_sec",
+            "value": round(bvh_rays, 1),
+            "unit": "rays/s",
+            "vs_baseline": (
+                round(bvh_rays / bvh_baseline, 4) if bvh_baseline else None
+            ),
+            "baseline_cpu_fwd_rays_per_sec": (
+                round(bvh_baseline, 1) if bvh_baseline else None
+            ),
+            "mean": round(mean_b, 5),
+            "note": (
+                "production Renderer pass (sharded, cluster BVH "
+                "traversal); baseline = same integrator+tracer on the "
+                "host CPU"
+            ),
+        }
+    except Exception as e:  # the headline line must still print
+        bvh_line = {"metric": "cornell_bvh_renderer_fwd_rays_per_sec",
+                    "error": repr(e)[:300]}
+
     result = {
         "metric": "cornell_fwd_bwd_rays_per_sec",
         "value": round(fwdbwd_rays, 1),
@@ -157,19 +216,32 @@ def main() -> int:
         # minutes (asset build + the 887k-tri cluster-program remote
         # compile) so the default line carries the last measured numbers
         # with provenance — run `python bench.py --bmw` to re-measure.
-        "bmw_fwd_rays_per_sec_measured": 0.58e6,
-        "bmw_measured_note": (
-            "887k-tri Ogawa-imported BMW-class scene, 512^2 spp4 depth4 "
-            "steady-state render_pass (tools/tpu_r2i.py); production "
-            "Renderer path 0.55e6 (within 6%); trace is top_k/gather-"
-            "bandwidth bound at that scale, not launch-bound"
-        ),
+        "bmw_fwd_rays_per_sec_measured": BMW_MEASURED,
+        "bmw_cpu_baseline_rays_per_sec_measured": BMW_CPU_BASELINE,
+        "bmw_vs_baseline": round(BMW_MEASURED / BMW_CPU_BASELINE, 1),
+        "bmw_measured_note": BMW_NOTE,
     }
     print(json.dumps(result))
+    if bvh_line is not None:
+        print(json.dumps(bvh_line))
 
     if "--bmw" in sys.argv:
         print(json.dumps(bmw_extra()))
     return 0 if ok else 1
+
+
+# Measured BMW-scale numbers carried with provenance (re-measured by
+# tools/tpu_r3b_split.py on-chip and tools/r3_cpu_baseline.py on-host;
+# `python bench.py --bmw` re-measures the TPU side live).
+BMW_MEASURED = 0.58e6
+BMW_CPU_BASELINE = 2170.6
+BMW_NOTE = (
+    "887k-tri Ogawa-imported BMW-class scene, 512^2 spp4 depth4 "
+    "steady-state render_pass; CPU baseline = same integrator+cluster "
+    "tracer on this host's 2-core CPU (tools/r3_cpu_baseline.py, "
+    "120.8 s/pass at 128^2 spp2) — the reference C++ is unbuildable "
+    "here and publishes no numbers"
+)
 
 
 def bmw_extra() -> dict:
@@ -212,14 +284,15 @@ def bmw_extra() -> dict:
         "metric": "bmw_fwd_rays_per_sec",
         "value": round(rays / best, 1),
         "unit": "rays/s",
+        "vs_baseline": round(rays / best / BMW_CPU_BASELINE, 1),
+        "baseline_cpu_fwd_rays_per_sec": BMW_CPU_BASELINE,
         "tris": int(data.faces.shape[0]),
         "res": RES, "spp": SPP, "depth": DEPTH,
         "mean": round(mean, 5),
         "note": (
-            "887k-tri Ogawa-imported asset; cluster tracer measured "
-            "gather-bandwidth+top_k bound at this scale (tools/"
-            "tpu_r2h_stagesplit.py): front table 115 ms of a 258 ms "
-            "131k-ray trace, launch-count tunables neutral-to-worse"
+            "887k-tri Ogawa-imported asset; treelet clusters + extract "
+            "selection (round-3, tools/tpu_r3_front.py); CPU baseline "
+            "measured by tools/r3_cpu_baseline.py on this 2-core host"
         ),
     }
 

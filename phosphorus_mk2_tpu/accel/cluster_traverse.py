@@ -34,22 +34,33 @@ import jax.numpy as jnp
 from phosphorus_mk2_tpu.accel.intersect import T_MAX
 
 
-def _cluster_rows(scene):
-    """(K, 10, C) triangle component rows; gathered per ray each wave.
-    (Recomputed per call from the attach-time tables — a pure stack that
-    XLA folds/CSEs; no mutation of the scene pytree under trace.)"""
+def _cluster_rows(scene, bf16: bool = False):
+    """(K, 9, C) triangle component rows (a|e0|e1); gathered per ray
+    each wave. (Recomputed per call from the attach-time tables — a pure
+    stack that XLA folds/CSEs; no mutation of the scene pytree under
+    trace.)
+
+    The winner is tracked as (cluster, lane) and mapped to a triangle id
+    once per trace, so no ids row rides in every wave gather (the wave
+    loop is gather-BANDWIDTH bound at BMW scale: 132 ms for the 5.2 GB
+    dense-8 microbench, tools/tpu_r3b_split.py — every byte in the row
+    costs). bf16=True halves the gather bytes again; the MT runs on
+    bf16-quantized geometry, which can flip the winner between surfaces
+    closer than ~0.4% and miss rays within that band of a silhouette —
+    acceptable for shadow (any-hit) traces, a measured tunable for
+    closest-hit.
+    """
     bvh = scene.bvh
     a, e0, e1 = bvh["cluster_a"], bvh["cluster_e0"], bvh["cluster_e1"]
-    ids = bvh["cluster_id"].astype(jnp.float32)
-    return jnp.stack(
+    rows = jnp.stack(
         [
             a[..., 0], a[..., 1], a[..., 2],
             e0[..., 0], e0[..., 1], e0[..., 2],
             e1[..., 0], e1[..., 1], e1[..., 2],
-            ids,
         ],
         axis=1,
-    )  # (K, 10, C)
+    )  # (K, 9, C)
+    return rows.astype(jnp.bfloat16) if bf16 else rows
 
 
 def _slab_all(p, d, bmin, bmax):
@@ -65,19 +76,31 @@ def _slab_all(p, d, bmin, bmax):
     return hit, jnp.maximum(tn, 0.0)
 
 
-def _mt_rows(p, d, rows, best, live):
-    """Dense per-ray MT against each ray's own cluster row.
+def _mt_rows(p, d, rows, best, live, cand_cids=None, cand_base=None):
+    """Dense per-ray MT against each ray's own cluster row(s).
 
-    p, d: (N, 3); rows: (N, 10, C); best: (t, tri, u, v) each (N,).
-    live: (N,) ray mask, or (N, C) per-candidate mask (wave batching) —
-    dead rays/candidates keep their records.
+    p, d: (N, 3); rows: (N, W, 9, C) f32 component rows (a|e0|e1) — the
+    GATHERED layout, never transposed: a physical (N, W, 9, C) ->
+    (N, 9, W*C) relayout measured as the dominant wave-loop cost at BMW
+    scale (tools/tpu_r3b_split.py dense8 132 ms vs ~35 ms of gather
+    traffic at the measured 125 GB/s). Component slices are strided
+    views XLA fuses into the elementwise MT chain.
+    best: (t, cid, lane, u, v) each (N,) — the winner is a (cluster,
+    lane) pair, mapped to a triangle id once per trace.
+    live: (N,) ray mask, or (N, W, C) per-candidate mask — dead
+    rays/candidates keep their records.
+    The winner's cluster id comes from exactly one of:
+      cand_cids: (N, W) int32 table — candidate block jc selected
+        gather-free with W static broadcast-selects;
+      cand_base: (N,) int32 — candidates are the contiguous clusters
+        cand_base + jc (the exact-fallback sweep): pure arithmetic.
     """
-    px, py, pz = p[:, 0:1], p[:, 1:2], p[:, 2:3]
-    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
-    ax, ay, az = rows[:, 0], rows[:, 1], rows[:, 2]
-    e0x, e0y, e0z = rows[:, 3], rows[:, 4], rows[:, 5]
-    e1x, e1y, e1z = rows[:, 6], rows[:, 7], rows[:, 8]
-    ids = rows[:, 9]
+    n, W, _, C = rows.shape
+    px, py, pz = p[:, 0:1, None], p[:, 1:2, None], p[:, 2:3, None]
+    dx, dy, dz = d[:, 0:1, None], d[:, 1:2, None], d[:, 2:3, None]
+    ax, ay, az = rows[:, :, 0], rows[:, :, 1], rows[:, :, 2]    # (N, W, C)
+    e0x, e0y, e0z = rows[:, :, 3], rows[:, :, 4], rows[:, :, 5]
+    e1x, e1y, e1z = rows[:, :, 6], rows[:, :, 7], rows[:, :, 8]
 
     pvx = dy * e1z - dz * e1y
     pvy = dz * e1x - dx * e1z
@@ -95,7 +118,7 @@ def _mt_rows(p, d, rows, best, live):
     v = (dx * qvx + dy * qvy + dz * qvz) * ood
     t = (e1x * qvx + e1y * qvy + e1z * qvz) * ood
 
-    best_t, best_tri, best_u, best_v = best
+    best_t, best_cid, best_lane, best_u, best_v = best
     ok = (
         ~near0
         & (u >= 0.0)
@@ -103,18 +126,30 @@ def _mt_rows(p, d, rows, best, live):
         & (v >= 0.0)
         & (u + v <= 1.0)
         & (t >= 0.0)
-        & (t < best_t[:, None])
-        & (live[:, None] if live.ndim == 1 else live)
+        & (t < best_t[:, None, None])
+        & (live[:, None, None] if live.ndim == 1 else live)
     )
-    t_m = jnp.where(ok, t, T_MAX)
+    t_m = jnp.where(ok, t, T_MAX).reshape(n, W * C)
     j = jnp.argmin(t_m, axis=1)
-    nrows = jnp.arange(t_m.shape[0])
-    better = ok[nrows, j]
+    nrows = jnp.arange(n)
+    better = ok.reshape(n, W * C)[nrows, j]
+
+    jc = j // C
+    lane_new = j % C
+    if cand_cids is not None:
+        cid_new = jnp.zeros_like(j)
+        for k in range(W):  # static selects, no gather
+            cid_new = jnp.where(jc == k, cand_cids[:, k], cid_new)
+    else:
+        cid_new = cand_base + jc
+    uf = u.reshape(n, W * C)
+    vf = v.reshape(n, W * C)
     return (
         jnp.where(better, t_m[nrows, j], best_t),
-        jnp.where(better, ids[nrows, j].astype(jnp.int32), best_tri),
-        jnp.where(better, u[nrows, j], best_u),
-        jnp.where(better, v[nrows, j], best_v),
+        jnp.where(better, cid_new, best_cid),
+        jnp.where(better, lane_new, best_lane),
+        jnp.where(better, uf[nrows, j], best_u),
+        jnp.where(better, vf[nrows, j], best_v),
     )
 
 
@@ -308,19 +343,36 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
         sctbl = _reconstruct_ids(s3_pad, sc_col, SC)
         horizon = jnp.minimum(horizon, sc_ttbl[:, -1])
     else:
-        sc_hit, sc_tn = _slab_all(
-            pp, dd,
-            _table(bvh, "sc_bmin", slab_bf16),
-            _table(bvh, "sc_bmax", slab_bf16),
-        )
-        K2 = sc_tn.shape[1]
+        K2 = bvh["sc_bmin"].shape[0]
         jj = min(SC_FRONT, K2)
-        sc_m = jnp.where(sc_hit & (sc_tn < t_limit[:, None]), sc_tn, T_MAX)
-        if sc_topk == "topk":
-            sc_neg, sctbl = jax.lax.top_k(-sc_m, jj)  # (N, jj)
-            sc_ttbl = -sc_neg
+        if sc_topk == "pallas":
+            # fused slab+extract kernel: one launch, bounds in VMEM, no
+            # (N, K2) HBM round-trips (accel/pallas_front.py)
+            from phosphorus_mk2_tpu.accel.pallas_front import (
+                slab_extract_pallas,
+            )
+
+            bounds6 = jnp.concatenate(
+                [bvh["sc_bmin"], bvh["sc_bmax"]], axis=1
+            )
+            sc_ttbl, sctbl = slab_extract_pallas(
+                bounds6, pp, dd, t_limit, jj=jj,
+                interpret=jax.default_backend() != "tpu",
+            )
         else:
-            sc_ttbl, sctbl = _select_topk(sc_m, jj, mode=sc_topk)
+            sc_hit, sc_tn = _slab_all(
+                pp, dd,
+                _table(bvh, "sc_bmin", slab_bf16),
+                _table(bvh, "sc_bmax", slab_bf16),
+            )
+            sc_m = jnp.where(
+                sc_hit & (sc_tn < t_limit[:, None]), sc_tn, T_MAX
+            )
+            if sc_topk == "topk":
+                sc_neg, sctbl = jax.lax.top_k(-sc_m, jj)  # (N, jj)
+                sc_ttbl = -sc_neg
+            else:
+                sc_ttbl, sctbl = _select_topk(sc_m, jj, mode=sc_topk)
         horizon = sc_ttbl[:, -1]
 
     cand_t, sc_pad = _expand_members(
@@ -336,7 +388,8 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
 
 def _trace(scene, p, d, t_limit, any_hit,
            dense_waves=0, chunk=8192, dense_chunk=16384, expand_batch=1,
-           slab_bf16=False, front_levels=0, sc_topk="topk", front_k=0):
+           slab_bf16=False, front_levels=0, sc_topk="extract", front_k=0,
+           rows_bf16=False):
     """Core trace. Tunables (defaults = measured config):
 
     dense_waves: process the first W0 front-table columns for ALL rays
@@ -354,12 +407,17 @@ def _trace(scene, p, d, t_limit, any_hit,
     front_levels: hierarchy depth for the front table — 0 auto (3 when
       the ssc tables exist and K2 is wide enough to matter, else 2),
       or explicit 2/3 for A/B measurement.
-    sc_topk: supercluster selection primitive ("topk" = lax.top_k,
-      "sort" = packed row-sort, "extract" = k min-reduce rounds).
+    sc_topk: supercluster selection primitive ("extract" = k min-reduce
+      rounds — measured best at BMW scale, 225.7 vs 238.5 ms full trace
+      (tools/tpu_r3_front.py); "topk" = lax.top_k; "sort" = packed
+      row-sort).
     front_k: override MAX_FRONT (per-ray cluster-table depth).
+    rows_bf16: bf16 triangle rows — half the wave-loop gather bytes
+      (the measured bottleneck); selection-only precision (see
+      _cluster_rows). Exact-safe OFF by default for closest-hit.
     """
     bvh = scene.bvh
-    rows_tbl = _cluster_rows(scene)
+    rows_tbl = _cluster_rows(scene, bf16=rows_bf16)
     K = rows_tbl.shape[0]
     n = p.shape[0]
 
@@ -413,14 +471,14 @@ def _trace(scene, p, d, t_limit, any_hit,
 
     state0 = (
         s_limit,
-        jnp.full((n,), -1, jnp.int32),
+        jnp.full((n,), -1, jnp.int32),   # winning cluster id (-1 = miss)
+        jnp.zeros((n,), jnp.int32),      # winning lane within the cluster
         jnp.zeros((n,)),
         jnp.zeros((n,)),
     )
 
     def make_chunk(w_eff, ww, ch, p_src, d_src):
         def chunk_fn(ci, best):
-            sbt, sbtri, sbu, sbv = best
             start = jnp.minimum(ci * ch, n - ch)
 
             def sl(x):
@@ -431,22 +489,20 @@ def _trace(scene, p, d, t_limit, any_hit,
 
             c = sl2(s_ctbl)          # (ch, ww)
             tn_c = sl2(s_ttbl)       # (ch, ww)
-            cur = (sl(sbt), sl(sbtri), sl(sbu), sl(sbv))
+            cur = tuple(sl(x) for x in best)
             live = (tn_c < cur[0][:, None]) & (tn_c < T_MAX)
             if any_hit:
                 live = live & (cur[1] < 0)[:, None]
-            rows = rows_tbl[jnp.where(live, c, 0)]  # (ch, ww, 10, C)
+            rows = rows_tbl[jnp.where(live, c, 0)]  # (ch, ww, 9, C)
             C = rows.shape[-1]
-            rows = rows.transpose(0, 2, 1, 3).reshape(ch, 10, ww * C)
-            live_el = jnp.broadcast_to(
-                live[:, :, None], (ch, ww, C)
-            ).reshape(ch, ww * C)
+            live_el = jnp.broadcast_to(live[:, :, None], (ch, ww, C))
             new = _mt_rows(
                 jnp.stack([sl(p_src[:, 0]), sl(p_src[:, 1]), sl(p_src[:, 2])], 1),
                 jnp.stack([sl(d_src[:, 0]), sl(d_src[:, 1]), sl(d_src[:, 2])], 1),
                 rows,
                 cur,
                 live_el,
+                cand_cids=c,
             )
             return tuple(
                 jax.lax.dynamic_update_slice_in_dim(full, nv, start, 0)
@@ -489,26 +545,22 @@ def _trace(scene, p, d, t_limit, any_hit,
     _, _, state = jax.lax.while_loop(
         wave_cond, wave_body, (jnp.int32(W0), go0, state0)
     )
-    best_t = state[0][inv]
-    best_tri = state[1][inv]
-    best_u = state[2][inv]
-    best_v = state[3][inv]
+    best = tuple(x[inv] for x in state)
 
     # --- exact fallback for rays whose front table did not cover their
     # hit range (table overflow or supercluster horizon): brute-force
     # every cluster for the needy rays only, via the same sorted
     # prefix-chunk compaction. Rare, exact, scene-size-linear.
-    needy = kth_tn < best_t
+    needy = kth_tn < best[0]
     if any_hit:
-        needy = needy & (best_tri < 0)
+        needy = needy & (best[1] < 0)
 
-    def fallback(args):
-        best_t, best_tri, best_u, best_v = args
+    def fallback(best):
         order2 = jnp.argsort(~needy)  # needy rays first
         inv2 = jnp.argsort(order2)
         f_p = pp[order2]
         f_d = dd[order2]
-        fb = (best_t[order2], best_tri[order2], best_u[order2], best_v[order2])
+        fb = tuple(x[order2] for x in best)
         a_n = needy.sum()
         # batch CC clusters per fori iteration: a one-cluster body is the
         # tiny-loop poison (measured: 3 needy rays over K=9905 clusters
@@ -532,9 +584,9 @@ def _trace(scene, p, d, t_limit, any_hit,
             def cl(k, cur):
                 cstart = jnp.minimum(k * CC, K - CC)  # overlap-safe clamp
                 rows = jax.lax.dynamic_slice_in_dim(rows_tbl, cstart, CC)
-                rows = rows.transpose(1, 0, 2).reshape(10, CC * C)
-                rows = jnp.broadcast_to(rows[None], (CH2, 10, CC * C))
-                return _mt_rows(rp, rd, rows, cur, live)
+                rows = jnp.broadcast_to(rows[None], (CH2, CC, 9, C))
+                base = jnp.full((CH2,), 1, jnp.int32) * cstart
+                return _mt_rows(rp, rd, rows, cur, live, cand_base=base)
 
             cur = jax.lax.fori_loop(0, (K + CC - 1) // CC, cl, cur)
             return tuple(
@@ -546,29 +598,56 @@ def _trace(scene, p, d, t_limit, any_hit,
         fb = jax.lax.fori_loop(0, n_rc, ray_chunk, fb)
         return tuple(x[inv2] for x in fb)
 
-    best_t, best_tri, best_u, best_v = jax.lax.cond(
-        needy.any(),
-        fallback,
-        lambda args: args,
-        (best_t, best_tri, best_u, best_v),
-    )
-    return best_t, best_tri, best_u, best_v
+    best = jax.lax.cond(needy.any(), fallback, lambda b: b, best)
+    return best  # (t, cid, lane, u, v)
+
+
+def _winner_tri(scene, cid, lane):
+    """Map (cluster, lane) winners to triangle ids once per trace: one
+    (N, C) ROW gather + a one-hot lane select. (A flat per-element
+    gather measured 26.8 ms at 131k rays — tools/tpu_r3c_levers.py —
+    per-LANE gathers stay catastrophic; row gathers are cheap.)"""
+    ids = scene.bvh["cluster_id"]  # (K, C)
+    rows = ids[jnp.maximum(cid, 0)]  # (N, C)
+    onehot = lane[:, None] == jnp.arange(ids.shape[1], dtype=lane.dtype)[None]
+    tri = jnp.where(onehot, rows, 0).sum(axis=1)
+    return jnp.where(cid >= 0, tri, -1)
 
 
 def intersect_clusters(scene, p, d, tmax=None, **tune):
     """Closest-hit via the gather-wave cluster tracer.
 
-    tune: dense_waves / chunk / dense_chunk / expand_batch (see _trace).
+    tune: dense_waves / chunk / dense_chunk / expand_batch /
+    front_levels / sc_topk / front_k / rows_bf16 (see _trace).
     """
     n = p.shape[0]
     t0 = jnp.full((n,), T_MAX) if tmax is None else tmax
-    t, tri, u, v = _trace(scene, p, d, t0, False, **tune)
+    t, cid, lane, u, v = _trace(scene, p, d, t0, False, **tune)
+    tri = _winner_tri(scene, cid, lane)
     return {"t": t, "tri": tri, "u": u, "v": v, "hit": tri >= 0}
 
 
 def occluded_clusters(scene, p, d, tmax, **tune):
-    """Any-hit via the gather-wave cluster tracer (tmax <= 0 disables)."""
+    """Any-hit via the gather-wave cluster tracer (tmax <= 0 disables).
+    No id mapping needed — occlusion is a boolean.
+
+    Under rows_bf16 the intersection t carries ~0.2-0.5% relative error
+    from quantized geometry — larger than the absolute RAY_EPSILON the
+    caller already subtracted — so a shadow ray would re-find its OWN
+    light source just inside tmax and systematically kill NEE
+    (measured: -18% image mean), and the ray ORIGIN sits inside its own
+    quantized surface (the caller's offset() lift is absolute and
+    smaller than the quantization shift), so every NEE ray self-occludes.
+    Both margins must scale with the ray extent: lift the origin and
+    shrink tmax by a relative fraction covering the error. EXPERIMENTAL:
+    the margins trade shadow-contact accuracy for bandwidth; default off.
+    """
     disabled = tmax <= 0.0
+    if tune.get("rows_bf16"):
+        lift = 0.005 * jnp.maximum(tmax, 0.0)
+        p = p + d * lift[:, None]
+        tmax = tmax * 0.99 - lift
+        disabled = disabled | (tmax <= 0.0)
     t0 = jnp.where(disabled, 1e-6, tmax)
-    _, tri, _, _ = _trace(scene, p, d, t0, True, **tune)
-    return (tri >= 0) & ~disabled
+    _, cid, _, _, _ = _trace(scene, p, d, t0, True, **tune)
+    return (cid >= 0) & ~disabled

@@ -64,6 +64,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--png", default=None, help="also write a tonemapped PNG")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
+    # --- inverse rendering (BASELINE config 5 as a product feature) ---
+    p.add_argument(
+        "--optimize", default=None, metavar="TARGET",
+        help="inverse-rendering mode: recover scene parameters by "
+        "gradient descent against this target image (EXR or PNG) "
+        "instead of rendering",
+    )
+    p.add_argument(
+        "--train", default="emission,lobe_weight",
+        help="comma-separated trainable fields for --optimize "
+        "(emission,lobe_weight,lobe_param,vertices,normals)",
+    )
+    p.add_argument("--steps", type=int, default=100,
+                   help="gradient steps for --optimize")
+    p.add_argument("--lr", type=float, default=5e-2,
+                   help="Adam learning rate for --optimize")
+    p.add_argument(
+        "--recovered-out", default=None,
+        help="npz path for the recovered parameters (--optimize); "
+        "default <output>.params.npz",
+    )
     return p
 
 
@@ -130,6 +151,8 @@ def main(argv=None) -> int:
     )
 
     n_devices = 1 if args.single else None
+    if args.optimize:
+        return run_optimize(args, scene, options, n_devices)
     renderer = Renderer(scene, options, n_devices=n_devices)
     if args.verbose:
         print(f"Devices: {renderer.mesh.devices.size} x "
@@ -158,6 +181,84 @@ def main(argv=None) -> int:
         write_png(args.png, film["color"])
     if args.verbose:
         print(f"Wrote {args.output}")
+    return 0
+
+
+def run_optimize(args, scene, options, n_devices) -> int:
+    """Inverse rendering from the CLI: BASELINE config 5 with one
+    command. Stamped optimizer checkpoints (step + params + Adam state)
+    land in --checkpoint-dir every --checkpoint-every steps and resume
+    automatically."""
+    import os
+
+    import numpy as np
+
+    from phosphorus_mk2_tpu.io.exr import read_exr, write_png
+    from phosphorus_mk2_tpu.optim import InverseRenderer
+
+    if args.optimize.lower().endswith((".png", ".jpg", ".jpeg")):
+        from PIL import Image
+
+        img = np.asarray(
+            Image.open(args.optimize).convert("RGB"), np.float32
+        ) / 255.0
+        target = img ** 2.2  # undo the writer's gamma
+    else:
+        ch = read_exr(args.optimize)
+        target = np.stack([ch["R"], ch["G"], ch["B"]], axis=-1)
+    h, w = target.shape[:2]
+    if (scene.camera.width, scene.camera.height) != (w, h):
+        if args.verbose:
+            print(f"resizing camera to target {w}x{h}")
+        scene.camera.width, scene.camera.height = w, h
+
+    trainable = tuple(f for f in args.train.split(",") if f)
+    inv = InverseRenderer(
+        scene,
+        target,
+        trainable=trainable,
+        learning_rate=args.lr,
+        spp=max(1, options.samples_per_pass),
+        max_depth=options.path_depth,
+        use_bvh=options.use_bvh,
+        n_devices=n_devices,
+        seed=options.seed,
+    )
+    ck_path = None
+    start = 0
+    if args.checkpoint_dir:
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+        ck_path = os.path.join(args.checkpoint_dir, "optimizer.npz")
+        if os.path.exists(ck_path):
+            inv.load_checkpoint(ck_path)
+            start = inv._step_count
+            if args.verbose:
+                print(f"resumed optimizer checkpoint at step {start}")
+
+    t0 = time.time()
+    for i in range(start, args.steps):
+        loss = inv.step()
+        if args.verbose and (i + 1) % max(1, args.steps // 20) == 0:
+            print(f"step {i + 1}/{args.steps}: loss={loss:.6f}", flush=True)
+        if (
+            ck_path
+            and args.checkpoint_every
+            and (i + 1) % args.checkpoint_every == 0
+        ):
+            inv.save_checkpoint(ck_path)
+    if ck_path:
+        inv.save_checkpoint(ck_path)
+    dt = time.time() - t0
+    print(f"Optimization time: {dt:.2f}s ({args.steps - start} steps)")
+
+    out = args.recovered_out or args.output + ".params.npz"
+    np.savez(out, **{k: np.asarray(v) for k, v in inv.params.items()})
+    print(f"Wrote recovered parameters: {out}")
+    if args.png:
+        from phosphorus_mk2_tpu.core.camera import camera_to_params
+        film = inv.render_current(spp=options.samples_per_pass)
+        write_png(args.png, film)
+        print(f"Wrote recovered-scene preview: {args.png}")
     return 0
 
 

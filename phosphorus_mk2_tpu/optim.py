@@ -59,6 +59,8 @@ class InverseRenderer:
         self.scene = scene
         self.trainable = tuple(trainable)
         self.spp = spp
+        self._max_depth = max_depth
+        self._use_bvh = use_bvh
 
         data = scene.build()
         if use_bvh:
@@ -134,6 +136,21 @@ class InverseRenderer:
 
     def current_scene(self):
         return dataclasses.replace(self.data, **self.params)
+
+    def render_current(self, spp: int = 8):
+        """(H, W, 3) render of the scene with the recovered parameters
+        (for previews / convergence inspection)."""
+        from phosphorus_mk2_tpu.core.options import Options
+        from phosphorus_mk2_tpu.integrator.path import render_aovs
+
+        out = render_aovs(
+            self.current_scene(),
+            self.scene.camera,
+            spp=spp,
+            max_depth=self._max_depth,
+            options=Options(use_bvh=self._use_bvh, samples_per_pass=spp),
+        )
+        return np.asarray(out["color"])
 
     # --- checkpoint / resume (no reference counterpart; SURVEY §5.4) --
 

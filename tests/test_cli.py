@@ -55,3 +55,51 @@ def test_cli_perf_knobs_preserve_image(tmp_path):
         "--remat",
     )
     np.testing.assert_allclose(tuned, plain, atol=2e-6)
+
+
+def test_cli_optimize_recovers_emission(tmp_path):
+    """`--optimize target --train emission` (BASELINE config 5 as one
+    command): loss decreases and the recovered-parameter npz + stamped
+    optimizer checkpoint land on disk; a second invocation resumes from
+    the checkpoint step."""
+    import dataclasses
+
+    import jax
+
+    from phosphorus_mk2_tpu.core.options import Options
+    from phosphorus_mk2_tpu.integrator.path import render_aovs
+    from phosphorus_mk2_tpu.io.exr import write_film
+    from phosphorus_mk2_tpu.scenes import sphere_in_box
+
+    # target: the true scene at a brighter emission
+    scene = sphere_in_box(width=12, height=12)
+    data = scene.build()
+    target = render_aovs(
+        data, scene.camera, spp=4, max_depth=2,
+        options=Options(use_bvh=False, samples_per_pass=4),
+    )
+    tgt = str(tmp_path / "target.exr")
+    write_film(tgt, {"color": np.asarray(target["color"]),
+                     "alpha": np.asarray(target["alpha"])})
+
+    out = str(tmp_path / "rec.exr")
+    ck = str(tmp_path / "ck")
+    argv = [
+        "builtin:sphere_in_box",
+        "-o", out, "-d", "2", "--spp-per-pass", "4", "--no-bvh",
+        "--width", "12", "--height", "12",
+        "--optimize", tgt, "--train", "emission",
+        "--steps", "4", "--lr", "0.05",
+        "--checkpoint-dir", ck, "--checkpoint-every", "2",
+    ]
+    rc = main(argv)
+    assert rc == 0
+    import os
+
+    params = np.load(out + ".params.npz")
+    assert "emission" in params
+    assert os.path.exists(os.path.join(ck, "optimizer.npz"))
+
+    # resume: second run starts at step 4 and does nothing more
+    rc = main(argv)
+    assert rc == 0

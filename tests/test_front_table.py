@@ -53,6 +53,7 @@ def test_cluster_modes_match_brute(monkeypatch, mode):
         {"front_levels": 3, "sc_topk": "sort"},
         {"sc_topk": "extract"},
         {"sc_topk": "sort"},
+        {"sc_topk": "pallas"},
         {"front_levels": 3, "front_k": 16},
         {"front_k": 16},
     ],
@@ -112,3 +113,34 @@ def test_treelet_partition_is_complete():
         )
         needed = np.arange(n_tris)[area2 > 0]
         assert np.isin(needed, uniq).all(), "triangle missing from clusters"
+
+
+def test_rows_bf16_near_exact(monkeypatch):
+    """bf16 triangle rows halve wave-loop gather bytes at selection-only
+    precision: ~all rays agree with the exact tracer; disagreements are
+    confined to silhouette/edge rays (bf16 geometry quantization)."""
+    monkeypatch.setattr(ct, "DENSE_K", 1)
+    data = attach_bvh(multi_bsdf_scene().build(), cluster_mode="treelet")
+    p, d = _rays(2000, seed=11)
+    ref = ct.intersect_clusters(data, p, d)
+    got = ct.intersect_clusters(data, p, d, rows_bf16=True)
+    hit_r = np.asarray(ref["hit"])
+    hit_g = np.asarray(got["hit"])
+    agree = hit_r == hit_g
+    assert agree.mean() > 0.99, f"only {agree.mean():.3f} hit agreement"
+    both = agree & hit_r
+    same_tri = np.asarray(got["tri"])[both] == np.asarray(ref["tri"])[both]
+    assert same_tri.mean() > 0.98
+    t_g = np.asarray(got["t"])[both][same_tri]
+    t_r = np.asarray(ref["t"])[both][same_tri]
+    rel = np.abs(t_g - t_r) / np.maximum(np.abs(t_r), 1e-6)
+    # grazing hits are t-sensitive under quantized geometry; the
+    # integrator re-intersects the winner exactly, so only selection
+    # quality matters: bulk within 2%, median essentially exact
+    assert (rel < 2e-2).mean() > 0.97
+    assert np.median(rel) < 1e-3
+    # any-hit: same tolerance
+    tmax = jnp.full((p.shape[0],), 1.3)
+    occ_r = np.asarray(ct.occluded_clusters(data, p, d, tmax))
+    occ_g = np.asarray(ct.occluded_clusters(data, p, d, tmax, rows_bf16=True))
+    assert (occ_r == occ_g).mean() > 0.99
