@@ -494,30 +494,77 @@ def _convert_node(node, name, ctx=None):
         m.emission_texture = tid
         return m
     if t == "ShaderNodeBsdfPrincipled":
-        from phosphorus_mk2_tpu.core.material import Material as M
+        # weighted lobe blend (round-2 verdict: the binary metallic>0.5
+        # switch + fixed 0.2 gloss split was coarse). Decomposition:
+        #   metal      = metallic                x base-tinted GGX
+        #   glass pair = (1-metallic)*transmission x fresnel reflect+refract
+        #   dielectric = (1-metallic)*(1-transmission) x
+        #                [ base diffuse (1-F) + white GGX coat (F, scaled
+        #                  by Specular level: 0.5 = physical F0) ]
+        # mirrors Cycles' principled layering with this framework's
+        # one-sample lobe mixture + per-hit fresnel modes.
+        from phosphorus_mk2_tpu.core.material import (
+            DIFFUSE, FRESNEL_F, FRESNEL_ONE_MINUS_F, MICROFACET,
+            MICROFACET_REFRACT, Lobe, Material as M, roughness_to_alpha,
+        )
 
         base, tid = _color_tex(node, "Base Color", (0.8, 0.8, 0.8), ctx)
         rough = _in(node, "Roughness", 0.5)
         metallic = _in(node, "Metallic", 0.0)
+        if isinstance(metallic, tuple):
+            metallic = metallic[0]
+        ior = _in(node, "IOR", 1.45)
+        spec = _in(node, "Specular IOR Level", _in(node, "Specular", 0.5))
+        if isinstance(spec, tuple):
+            spec = spec[0]
+        trans = _in(node, "Transmission Weight", _in(node, "Transmission", 0.0))
+        if isinstance(trans, tuple):
+            trans = trans[0]
         emis = _in(node, "Emission Color", (0.0, 0.0, 0.0))
         emis_s = _in(node, "Emission Strength", 0.0)
         ntex = _normal_tex(node, ctx)
         if emis_s and any(e > 0 for e in emis):
             return M.emitter(emis, power=emis_s, name=name)
-        if metallic > 0.5:
-            m = M.glossy(base, roughness=rough, name=name)
-            m.lobes[0].texture = tid
-            m.normal_texture = ntex
-            return m
-        diffuse = M.diffuse(base, name=name)
-        gloss = M.glossy((1.0, 1.0, 1.0), roughness=max(rough, 0.05))
-        diffuse.lobes[0].weight = tuple(c * (1 - 0.2) for c in base)
-        diffuse.lobes[0].texture = tid
-        gl = gloss.lobes[0]
-        gl.weight = (0.2, 0.2, 0.2)
-        diffuse.lobes.append(gl)
-        diffuse.normal_texture = ntex
-        return diffuse
+
+        alpha = roughness_to_alpha(rough * rough)
+        lobes = []
+        if metallic > 0.0:
+            metal = Lobe(
+                MICROFACET,
+                tuple(c * metallic for c in base),
+                (alpha, alpha, 0.0),
+            )
+            metal.texture = tid
+            lobes.append(metal)
+        glass_w = (1.0 - metallic) * trans
+        if glass_w > 0.0:
+            lobes.append(Lobe(
+                MICROFACET, (glass_w,) * 3,
+                (alpha, alpha, 0.0, 0.0, FRESNEL_F, ior),
+            ))
+            lobes.append(Lobe(
+                MICROFACET_REFRACT,
+                tuple(c * glass_w for c in base),
+                (alpha, alpha, ior, 0.0, FRESNEL_ONE_MINUS_F, ior),
+            ))
+        opaque = (1.0 - metallic) * (1.0 - trans)
+        if opaque > 0.0:
+            diff = Lobe(
+                DIFFUSE,
+                tuple(c * opaque for c in base),
+                (0.0, 0.0, 0.0, 0.0, FRESNEL_ONE_MINUS_F, ior),
+            )
+            diff.texture = tid
+            lobes.append(diff)
+            coat = opaque * (spec / 0.5)  # 0.5 = physical F0 for this ior
+            if coat > 0.0:
+                lobes.append(Lobe(
+                    MICROFACET, (coat,) * 3,
+                    (alpha, alpha, 0.0, 0.0, FRESNEL_F, ior),
+                ))
+        m = M(name=name, lobes=lobes or [Lobe(DIFFUSE, base)])
+        m.normal_texture = ntex
+        return m
     # unknown -> grey diffuse
     return Material.diffuse((0.8, 0.8, 0.8), name=name)
 

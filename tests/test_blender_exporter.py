@@ -364,3 +364,70 @@ def test_mesh_corner_attributes_exported():
     # corner attrs survive scene build (resolve_corners splits vertices)
     data = scene.build()
     assert data.num_tris == 2
+
+
+def test_principled_mid_metallic_blend():
+    """Round-2 verdict: the binary metallic>0.5 switch was coarse. A
+    mid-metallic Principled material must blend a base-tinted metal GGX
+    with a diffuse + fresnel-coat dielectric, weighted by metallic."""
+    from phosphorus_mk2_tpu.core.material import (
+        FRESNEL_F, FRESNEL_ONE_MINUS_F,
+    )
+
+    base = (0.8, 0.4, 0.2)
+    m = convert_material(
+        _mat(
+            "p",
+            _node(
+                "ShaderNodeBsdfPrincipled",
+                **{
+                    "Base Color": base + (1.0,),
+                    "Roughness": 0.3,
+                    "Metallic": 0.4,
+                    "IOR": 1.45,
+                    "Specular IOR Level": 0.5,
+                    "Emission Color": (0, 0, 0, 1),
+                    "Emission Strength": 0.0,
+                },
+            ),
+        )
+    )
+    types = [lb.type for lb in m.lobes]
+    assert types.count(MICROFACET) == 2  # metal + dielectric coat
+    assert types.count(DIFFUSE) == 1
+    metal = next(lb for lb in m.lobes if lb.type == MICROFACET
+                 and lb.padded_params()[4] == 0.0)
+    np.testing.assert_allclose(metal.weight, tuple(c * 0.4 for c in base),
+                               rtol=1e-6)
+    diff = next(lb for lb in m.lobes if lb.type == DIFFUSE)
+    np.testing.assert_allclose(diff.weight, tuple(c * 0.6 for c in base),
+                               rtol=1e-6)
+    assert diff.padded_params()[4] == FRESNEL_ONE_MINUS_F
+    coat = next(lb for lb in m.lobes if lb.type == MICROFACET
+                and lb.padded_params()[4] == FRESNEL_F)
+    np.testing.assert_allclose(coat.weight, (0.6, 0.6, 0.6), rtol=1e-6)
+    assert coat.padded_params()[5] == 1.45
+
+
+def test_principled_transmission_expands_glass_pair():
+    m = convert_material(
+        _mat(
+            "pt",
+            _node(
+                "ShaderNodeBsdfPrincipled",
+                **{
+                    "Base Color": (1.0, 1.0, 1.0, 1.0),
+                    "Roughness": 0.0,
+                    "Metallic": 0.0,
+                    "IOR": 1.5,
+                    "Specular IOR Level": 0.5,
+                    "Transmission Weight": 1.0,
+                    "Emission Color": (0, 0, 0, 1),
+                    "Emission Strength": 0.0,
+                },
+            ),
+        )
+    )
+    types = sorted(lb.type for lb in m.lobes)
+    assert MICROFACET_REFRACT in types  # transmission lobe present
+    assert MICROFACET in types          # fresnel reflection half
