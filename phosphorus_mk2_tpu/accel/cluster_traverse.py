@@ -259,6 +259,13 @@ def _expand_members(pp, dd, mbmin, mbmax, ptbl, p_ttbl, t_limit,
     SC = mbmin.shape[1]
     inv = 1.0 / jnp.where(dd == 0.0, 1e-30, dd)
 
+    # ONE merged-bounds gather per step instead of separate bmin/bmax
+    # gathers: same bytes, half the row fetches (gathers measured
+    # byte-bound but each gather op carries fixed overhead in the scan)
+    mb6 = jnp.concatenate(
+        [mbmin.astype(jnp.float32), mbmax.astype(jnp.float32)], axis=-1
+    )  # (P, SC, 6) — scene-derived, hoisted out of the trace by XLA
+
     B = max(1, min(expand_batch, jj))
     G = -(-jj // B)
     pad = G * B - jj
@@ -268,8 +275,9 @@ def _expand_members(pp, dd, mbmin, mbmax, ptbl, p_ttbl, t_limit,
     def expand(_, g):
         sc_b = jax.lax.dynamic_slice(sct, (0, g * B), (n, B))      # (N, B)
         live = jax.lax.dynamic_slice(live_col, (0, g * B), (n, B))
-        bmin = mbmin[jnp.where(live, sc_b, 0)].astype(jnp.float32)  # (N, B, SC, 3)
-        bmax = mbmax[jnp.where(live, sc_b, 0)].astype(jnp.float32)
+        rows6 = mb6[jnp.where(live, sc_b, 0)]  # (N, B, SC, 6)
+        bmin = rows6[..., :3]
+        bmax = rows6[..., 3:]
         t0 = (bmin - pp[:, None, None]) * inv[:, None, None]
         t1 = (bmax - pp[:, None, None]) * inv[:, None, None]
         tn = jnp.minimum(t0, t1).max(axis=-1)   # (N, B, SC)

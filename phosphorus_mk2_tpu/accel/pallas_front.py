@@ -27,7 +27,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 T_MAX = jnp.float32(3.4e38)
 _TMAXF = 3.4e38  # python float: jnp scalars would be captured consts in-kernel
-RAY_BLOCK = 512
+RAY_BLOCK = 256  # ~4 live (B, K2p) f32 temps must fit VMEM with
+                 # double buffering; 512 overflowed on wide scenes
+                 # (surfaces as a runtime InvalidArgument from the
+                 # remote compile service)
 
 
 def _kernel(bounds_ref, p_ref, d_ref, tlim_ref, out_ref, *, jj, nbits):

@@ -62,11 +62,27 @@ def main():
     scene.materials[body_mid].lobes[0].weight = (0.35, 0.35, 0.35)
     scene.materials[lamp_mid].emission = tuple(0.3 * e for e in true_lamp_e)
 
-    sched = optax.exponential_decay(0.25, transition_steps=40, decay_rate=0.7)
+    # per-field optimizers: lamp emission sits ~8.9 absolute units from
+    # its start while albedo moves ~0.3 — one shared lr either crawls on
+    # emission or overshoots albedo. Adam's unit step x a per-field
+    # schedule gives each the travel it needs; both decay to fine-tune.
+    opt = optax.multi_transform(
+        {
+            "emission": optax.adam(
+                optax.exponential_decay(1.0, transition_steps=40,
+                                        decay_rate=0.6)
+            ),
+            "lobe_weight": optax.adam(
+                optax.exponential_decay(0.1, transition_steps=40,
+                                        decay_rate=0.7)
+            ),
+        },
+        param_labels={"emission": "emission", "lobe_weight": "lobe_weight"},
+    )
     inv = InverseRenderer(
         scene, target, trainable=("emission", "lobe_weight"),
         spp=spp, max_depth=depth, use_bvh=True, seed=3,
-        optimizer=optax.adam(sched),
+        optimizer=opt,
     )
 
     t0 = time.time()
