@@ -313,7 +313,8 @@ class _Treelets:
 
 
 def attach_bvh(scene_data, bvh: dict | None = None,
-               cluster_mode: str = "treelet"):
+               cluster_mode: str = "treelet",
+               cluster_tris: int | None = None):
     """Return SceneData with BVH arrays attached (jnp-converted), plus
     pre-gathered leaf triangle tables (leaf-group rows of v0/e0/e1) so
     block traversal never gathers per lane.
@@ -361,7 +362,7 @@ def attach_bvh(scene_data, bvh: dict | None = None,
     for g, cnt in zip(groups, counts):
         valid[g, :cnt] = True
 
-    C = CLUSTER_TRIS
+    C = cluster_tris or CLUSTER_TRIS
     if cluster_mode.startswith("treelet"):
         tl = _Treelets(bvh)
         GC = C // MAX_LEAF

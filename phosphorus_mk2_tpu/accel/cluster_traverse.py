@@ -64,14 +64,25 @@ def _cluster_rows(scene, bf16: bool = False):
 
 
 def _slab_all(p, d, bmin, bmax):
-    """(N, K) cluster slab test. Returns (hit, tnear >= 0)."""
+    """(N, K) cluster slab test. Returns (hit, tnear >= 0).
+
+    Accumulates tn/tf per AXIS over (N, K) arrays instead of reducing a
+    broadcast (N, K, 3) tensor: the 3-axis form materializes ~2 GB of
+    t0/t1 intermediates at BMW shapes (the measured 29.6 ms of the
+    "slab" stage, tools/tpu_r3b_split.py, is HBM churn, not compute).
+    """
     bmin = bmin.astype(jnp.float32)  # bf16 tables upcast after the load
     bmax = bmax.astype(jnp.float32)
     inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
-    t0 = (bmin[None] - p[:, None]) * inv[:, None]
-    t1 = (bmax[None] - p[:, None]) * inv[:, None]
-    tn = jnp.minimum(t0, t1).max(axis=-1)
-    tf = jnp.maximum(t0, t1).min(axis=-1)
+    tn = None
+    tf = None
+    for a in range(3):
+        t0 = (bmin[None, :, a] - p[:, None, a]) * inv[:, None, a]
+        t1 = (bmax[None, :, a] - p[:, None, a]) * inv[:, None, a]
+        lo = jnp.minimum(t0, t1)
+        hi = jnp.maximum(t0, t1)
+        tn = lo if tn is None else jnp.maximum(tn, lo)
+        tf = hi if tf is None else jnp.minimum(tf, hi)
     hit = (tn <= tf) & (tf >= 0.0)
     return hit, jnp.maximum(tn, 0.0)
 
@@ -276,12 +287,15 @@ def _expand_members(pp, dd, mbmin, mbmax, ptbl, p_ttbl, t_limit,
         sc_b = jax.lax.dynamic_slice(sct, (0, g * B), (n, B))      # (N, B)
         live = jax.lax.dynamic_slice(live_col, (0, g * B), (n, B))
         rows6 = mb6[jnp.where(live, sc_b, 0)]  # (N, B, SC, 6)
-        bmin = rows6[..., :3]
-        bmax = rows6[..., 3:]
-        t0 = (bmin - pp[:, None, None]) * inv[:, None, None]
-        t1 = (bmax - pp[:, None, None]) * inv[:, None, None]
-        tn = jnp.minimum(t0, t1).max(axis=-1)   # (N, B, SC)
-        tf = jnp.maximum(t0, t1).min(axis=-1)
+        tn = None  # per-axis accumulation: see _slab_all (no (…, 3)
+        tf = None  # broadcast intermediates in HBM)
+        for a in range(3):
+            t0 = (rows6[..., a] - pp[:, None, None, a]) * inv[:, None, None, a]
+            t1 = (rows6[..., 3 + a] - pp[:, None, None, a]) * inv[:, None, None, a]
+            lo = jnp.minimum(t0, t1)
+            hi = jnp.maximum(t0, t1)
+            tn = lo if tn is None else jnp.maximum(tn, lo)
+            tf = hi if tf is None else jnp.minimum(tf, hi)
         hit = (
             (tn <= tf) & (tf >= 0.0) & live[:, :, None]
             & (tn < t_limit[:, None, None])
@@ -397,7 +411,7 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
 def _trace(scene, p, d, t_limit, any_hit,
            dense_waves=0, chunk=8192, dense_chunk=16384, expand_batch=1,
            slab_bf16=False, front_levels=0, sc_topk="extract", front_k=0,
-           rows_bf16=False):
+           rows_bf16=False, fb_cc=64):
     """Core trace. Tunables (defaults = measured config):
 
     dense_waves: process the first W0 front-table columns for ALL rays
@@ -576,7 +590,7 @@ def _trace(scene, p, d, t_limit, any_hit,
         # what kills, not the math)
         CH2 = min(256, n)
         C = rows_tbl.shape[2]
-        CC = min(64, K)
+        CC = min(fb_cc, K)
 
         def ray_chunk(ci, fb):
             start = jnp.minimum(ci * CH2, n - CH2)

@@ -59,6 +59,9 @@ def config4(abc_path, res, spp, depth):
         # unrolling multiplies compile time (a depth-5-unrolled variant
         # was still in remote compile after 25 min)
         depth_unroll=1, sample_unroll=1,
+        # spec-scale runs (1024^2 x 512 spp ~ 2 h) must be restartable:
+        # stamped film checkpoints every 8 passes (32 spp)
+        checkpoint_dir="/tmp/bmw_c4_ck", checkpoint_every=8,
     )
     t0 = time.time()
     r = Renderer(scene, opts)
