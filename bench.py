@@ -233,14 +233,16 @@ def main() -> int:
 # Measured BMW-scale numbers carried with provenance (re-measured by
 # tools/tpu_r3b_split.py on-chip and tools/r3_cpu_baseline.py on-host;
 # `python bench.py --bmw` re-measures the TPU side live).
-BMW_MEASURED = 0.58e6
+BMW_MEASURED = 0.88e6
 BMW_CPU_BASELINE = 2170.6
 BMW_NOTE = (
     "887k-tri Ogawa-imported BMW-class scene, 512^2 spp4 depth4 "
-    "steady-state render_pass; CPU baseline = same integrator+cluster "
-    "tracer on this host's 2-core CPU (tools/r3_cpu_baseline.py, "
-    "120.8 s/pass at 128^2 spp2) — the reference C++ is unbuildable "
-    "here and publishes no numbers"
+    "steady-state render_pass (round-3 tracer: treelet clusters, "
+    "extract select, axis-accumulated slabs, front_k 32, chunk 4096 — "
+    "tools/tpu_r3h_axis.py; was 0.58e6 in round 2). CPU baseline = "
+    "same integrator+cluster tracer on this host's 2-core CPU "
+    "(tools/r3_cpu_baseline.py, 120.8 s/pass at 128^2 spp2) — the "
+    "reference C++ is unbuildable here and publishes no numbers"
 )
 
 

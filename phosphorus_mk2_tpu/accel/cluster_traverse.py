@@ -164,9 +164,11 @@ def _mt_rows(p, d, rows, best, live, cand_cids=None, cand_base=None):
     )
 
 
-MAX_FRONT = 64  # per-ray front-to-back cluster table depth (top-k);
+MAX_FRONT = 48  # per-ray front-to-back cluster table depth (top-k);
                 # rays overlapping more clusters finish in the exact
-                # fallback pass
+                # fallback pass. 48 vs 64 measured ~equal trace time at
+                # BMW scale with p99 overlap 30 (tools/tpu_r3h_axis.py);
+                # front_k overrides per trace
 from phosphorus_mk2_tpu.accel.bvh_builder import (  # noqa: E402
     DENSE_CLUSTERS as DENSE_K,  # above this many clusters the (N, K)
     # slab table would blow HBM; the front table is built hierarchically
@@ -409,7 +411,7 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
 
 
 def _trace(scene, p, d, t_limit, any_hit,
-           dense_waves=0, chunk=8192, dense_chunk=16384, expand_batch=1,
+           dense_waves=0, chunk=4096, dense_chunk=16384, expand_batch=1,
            slab_bf16=False, front_levels=0, sc_topk="extract", front_k=0,
            rows_bf16=False, fb_cc=64):
     """Core trace. Tunables (defaults = measured config):
@@ -420,7 +422,9 @@ def _trace(scene, p, d, t_limit, any_hit,
       mostly live so the masked over-gather is small, while the
       per-wave while-loop shrinks to the straggler tail only).
     chunk / dense_chunk: ray-chunk sizes for the straggler loop / the
-      dense phase (bigger chunk = fewer launches, more HBM per gather).
+      dense phase. Default 4096 measured best at BMW scale (173.5 vs
+      194 ms at 8192, tools/tpu_r3g_chunks.py): smaller chunks waste
+      less masked prefix work; 1024-4096 is a plateau.
     expand_batch: superclusters expanded per front-table step; >= jj
       collapses the jj-step scan into ONE member-bounds row-gather.
     slab_bf16: slab tests read the outward-rounded bf16 bounds tables
