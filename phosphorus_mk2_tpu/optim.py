@@ -49,10 +49,17 @@ class InverseRenderer:
         seed: int = 0,
         optimizer=None,
         fresh_rng: bool = True,
+        log_emission: bool = False,
     ):
         """fresh_rng: new sample paths per step (unbiased stochastic
         gradients); False reuses one fixed path set — deterministic
-        convergence to that set's noise floor (useful for tests)."""
+        convergence to that set's noise floor (useful for tests).
+        log_emission: optimize emission in LOG space (emission =
+        exp(theta)): radiance scales are multiplicative, so absolute
+        Adam steps on raw emission either crawl (bright lights are many
+        units from a wrong start) or blow up dim channels; log-space
+        makes the step relative. Measured necessity: BMW config-5 lamp
+        recovery plateaued at 40-61% relative error in raw space."""
         for f in trainable:
             if f not in TRAINABLE_FIELDS:
                 raise ValueError(f"not trainable: {f}")
@@ -86,14 +93,23 @@ class InverseRenderer:
         mask = (np.arange(px.shape[0]) < n_valid).astype(np.float32)[:, None]
         mask_dev = jax.device_put(mask, NamedSharding(self.mesh, P("wave")))
 
+        self._log_emission = bool(log_emission) and "emission" in self.trainable
         self.params = {f: getattr(data, f) for f in self.trainable}
+        if self._log_emission:
+            self.params["emission"] = jnp.log(
+                jnp.maximum(data.emission, 1e-6)
+            )
+        _log_em = self._log_emission
         self.opt = optimizer or optax.adam(learning_rate)
         self.opt_state = self.opt.init(self.params)
         self.key = jax.random.key(seed)
         self._step_count = 0
 
         def loss_fn(params, scene_data, key):
-            sd = dataclasses.replace(scene_data, **params)
+            fields = dict(params)
+            if _log_em:
+                fields["emission"] = jnp.exp(fields["emission"])
+            sd = dataclasses.replace(scene_data, **fields)
             out = render_pass_pixels(
                 sd, cam, key, 0, spp, px, py, max_depth=max_depth, tracer=tracer,
                 sorted_dispatch=False,  # forward-only optimization; the
@@ -135,7 +151,10 @@ class InverseRenderer:
         return losses
 
     def current_scene(self):
-        return dataclasses.replace(self.data, **self.params)
+        fields = dict(self.params)
+        if self._log_emission:
+            fields["emission"] = jnp.exp(fields["emission"])
+        return dataclasses.replace(self.data, **fields)
 
     def render_current(self, spp: int = 8):
         """(H, W, 3) render of the scene with the recovered parameters
