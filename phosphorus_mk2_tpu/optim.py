@@ -50,6 +50,7 @@ class InverseRenderer:
         optimizer=None,
         fresh_rng: bool = True,
         log_emission: bool = False,
+        unbiased_loss: bool = False,
     ):
         """fresh_rng: new sample paths per step (unbiased stochastic
         gradients); False reuses one fixed path set — deterministic
@@ -59,7 +60,17 @@ class InverseRenderer:
         Adam steps on raw emission either crawl (bright lights are many
         units from a wrong start) or blow up dim channels; log-space
         makes the step relative. Measured necessity: BMW config-5 lamp
-        recovery plateaued at 40-61% relative error in raw space."""
+        recovery plateaued at 40-61% relative error in raw space.
+        unbiased_loss: double-sample MSE — the loss is the per-pixel dot
+        product of residuals from TWO independent renders, each at
+        spp/2. A single-render MSE contains the estimator's own variance
+        Var(img), which DEPENDS on the parameters (dimmer lights render
+        with less MC noise), so stochastic optimization converges to a
+        darkened scene: measured on BMW config-5, loss(true params) =
+        1.48 > loss(dim recovered point) = 1.03 (tools/bmw_c5_probe.py).
+        E[(img1-t)(img2-t)] = bias^2 + Var(target) instead — the
+        parameter-dependent variance term cancels. Same cost per step
+        (the spp budget is split)."""
         for f in trainable:
             if f not in TRAINABLE_FIELDS:
                 raise ValueError(f"not trainable: {f}")
@@ -105,18 +116,29 @@ class InverseRenderer:
         self.key = jax.random.key(seed)
         self._step_count = 0
 
+        _unbiased = bool(unbiased_loss)
+        half = max(1, spp // 2)
+
+        def _render(sd, key, n):
+            out = render_pass_pixels(
+                sd, cam, key, 0, n, px, py, max_depth=max_depth,
+                tracer=tracer,
+                sorted_dispatch=False,  # forward-only optimization; the
+                # dense lobe eval is the differentiable path
+            )
+            return out["color"] / n
+
         def loss_fn(params, scene_data, key):
             fields = dict(params)
             if _log_em:
                 fields["emission"] = jnp.exp(fields["emission"])
             sd = dataclasses.replace(scene_data, **fields)
-            out = render_pass_pixels(
-                sd, cam, key, 0, spp, px, py, max_depth=max_depth, tracer=tracer,
-                sorted_dispatch=False,  # forward-only optimization; the
-                # dense lobe eval is the differentiable path
-            )
-            img = out["color"] / spp
-            err = (img - target_dev) * mask_dev
+            if _unbiased:
+                k1, k2 = jax.random.split(key)
+                e1 = (_render(sd, k1, half) - target_dev) * mask_dev
+                e2 = (_render(sd, k2, half) - target_dev) * mask_dev
+                return jnp.sum(e1 * e2) / jnp.sum(mask_dev)
+            err = (_render(sd, key, spp) - target_dev) * mask_dev
             return jnp.sum(err * err) / jnp.sum(mask_dev)
 
         @jax.jit

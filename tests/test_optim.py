@@ -81,3 +81,44 @@ def test_log_emission_recovers_scale():
     # 10x scale gap closed to <25% in 30 noisy steps (raw space moves
     # ~0.25*30 = 7.5 absolute at best vs the ~e_true*0.9 gap per channel)
     assert rel.max() < 0.25, rel
+
+
+def test_unbiased_loss_removes_variance_dimming():
+    """Single-render MSE contains Var(img), which shrinks with dimmer
+    lights — stochastic optimization converges DARK (the BMW config-5
+    lamp failure, tools/bmw_c5_probe.py). The double-sample loss cancels
+    the parameter-dependent variance term."""
+    import numpy as np
+
+    from phosphorus_mk2_tpu.core.options import Options
+    from phosphorus_mk2_tpu.integrator.path import render_aovs
+    from phosphorus_mk2_tpu.optim import InverseRenderer
+    from phosphorus_mk2_tpu.scenes import sphere_in_box
+
+    def make():
+        return sphere_in_box(width=12, height=12)
+
+    s0 = make()
+    data = s0.build()
+    target = np.asarray(render_aovs(
+        data, s0.camera, spp=32, max_depth=2,
+        options=Options(use_bvh=False, samples_per_pass=8))["color"])
+    true_e = np.asarray(data.emission).copy()
+    rows = np.abs(true_e).sum(1) > 0
+
+    ratios = {}
+    for unb in (False, True):
+        s = make()
+        for m in s.materials:
+            if m.is_emitter:
+                m.emission = tuple(0.4 * e for e in m.emission)
+        inv = InverseRenderer(
+            s, target, trainable=("emission",), learning_rate=0.15,
+            spp=2, max_depth=2, use_bvh=False, seed=5,
+            log_emission=True, unbiased_loss=unb,
+        )
+        inv.run(40)
+        rec = np.asarray(inv.current_scene().emission)
+        ratios[unb] = float((rec[rows] / true_e[rows]).mean())
+    # the biased run must land dimmer than the unbiased one
+    assert ratios[True] > ratios[False] + 0.05, ratios

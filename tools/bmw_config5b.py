@@ -69,10 +69,15 @@ def main():
     # both fields (r3: per-field raw lrs made body WORSE, lamp 0.40).
     sched = optax.exponential_decay(0.12, transition_steps=60,
                                     decay_rate=0.6)
+    # unbiased_loss: the single-render MSE's parameter-dependent variance
+    # term REWARDS dim lamps (measured: loss at the true params 1.48 vs
+    # 1.03 at the dim recovered point, tools/bmw_c5_probe.py) — the
+    # double-sample loss cancels it
     inv = InverseRenderer(
         scene, target, trainable=("emission", "lobe_weight"),
-        spp=spp, max_depth=depth, use_bvh=True, seed=3,
+        spp=2 * spp, max_depth=depth, use_bvh=True, seed=3,
         optimizer=optax.adam(sched), log_emission=True,
+        unbiased_loss=True,
     )
 
     t0 = time.time()
