@@ -80,6 +80,11 @@ def main():
         unbiased_loss=True,
     )
 
+    ck = "/tmp/bmw_c5b_opt.npz"
+    if "--resume" in args and os.path.exists(ck):
+        inv.load_checkpoint(ck)
+        print(f"[c5b] resumed at step {inv._step_count}", flush=True)
+
     t0 = time.time()
     losses = []
     for chunk in range(0, steps, 25):
@@ -92,6 +97,7 @@ def main():
     dt = time.time() - t0
     print(f"[c5b] {steps} steps in {dt:.1f} s ({dt/steps:.2f} s/step)",
           flush=True)
+    inv.save_checkpoint(ck)
 
     rec = inv.current_scene()
     rec_body = np.asarray(rec.lobe_weight)[body_mid, 0]
