@@ -67,7 +67,7 @@ def main():
     # a ~9-unit emission gap and a ~0.3 albedo gap at once. In log space
     # the emission step is RELATIVE; one modest shared schedule fits
     # both fields (r3: per-field raw lrs made body WORSE, lamp 0.40).
-    sched = optax.exponential_decay(0.12, transition_steps=120,
+    sched = optax.exponential_decay(0.12, transition_steps=160,
                                     decay_rate=0.6)
     # unbiased_loss: the single-render MSE's parameter-dependent variance
     # term REWARDS dim lamps (measured: loss at the true params 1.48 vs
