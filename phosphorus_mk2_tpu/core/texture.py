@@ -235,9 +235,20 @@ def sample_texture(atlas: jnp.ndarray, info: jnp.ndarray, tex_id, uv,
     l1 = jnp.minimum(l0 + 1, n_levels - 1)
     tl = (lod - l0.astype(jnp.float32))[..., None]
 
-    nrows = jnp.arange(rows.shape[0])
-    idx0, w0 = _bilinear_idx_weights(rows[nrows, l0], uv, aw)
-    idx1, w1 = _bilinear_idx_weights(rows[nrows, l1], uv, aw)
+    # per-level row selection via static broadcast-selects over the
+    # (already gathered) (N, L, 4) rows — a fancy-index rows[nrows, l0]
+    # is a per-LANE gather: 1.48x total textured-render cost vs 1.25x
+    # with selects (tools/tpu_r3i_tex.py: 396.9 -> 335.6 ms trilinear,
+    # 267.9 ms unfiltered; the residual cost is the honest 8- vs 4-texel
+    # gather and lod math)
+    def pick(lsel):
+        out = rows[:, 0]
+        for lv in range(1, n_levels):
+            out = jnp.where((lsel == lv)[:, None], rows[:, lv], out)
+        return out
+
+    idx0, w0 = _bilinear_idx_weights(pick(l0), uv, aw)
+    idx1, w1 = _bilinear_idx_weights(pick(l1), uv, aw)
     idx = jnp.concatenate([idx0, idx1], axis=-1)  # (..., 8)
     texels = flat[idx]  # ONE stacked gather for both levels
     c0 = (texels[..., :4, :] * w0[..., None]).sum(axis=-2)
