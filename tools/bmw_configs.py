@@ -136,9 +136,14 @@ def config5(abc_path, res=192, spp=4, depth=3, steps=40):
         0.3 * e for e in true_lamp_e
     )
 
+    # log-space emission + double-sample unbiased loss: the raw
+    # single-render MSE provably prefers dimmer lamps (its variance term
+    # depends on the parameters — tools/bmw_c5_probe.py) and absolute
+    # Adam steps crawl across the ~9-unit emission gap
     inv = InverseRenderer(
         pert, target, trainable=("emission", "lobe_weight"),
-        learning_rate=8e-2, spp=spp, max_depth=depth, use_bvh=True, seed=3,
+        learning_rate=8e-2, spp=2 * spp, max_depth=depth, use_bvh=True,
+        seed=3, log_emission=True, unbiased_loss=True,
     )
     before = np.asarray(inv.current_scene().emission), np.asarray(
         inv.current_scene().lobe_weight
