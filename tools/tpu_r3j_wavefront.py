@@ -7,10 +7,10 @@ amortizes with wave size.
 
     python tools/tpu_r3j_wavefront.py
 
-RESULT (round 3): inconclusive as run — each config pays its fresh
+RESULT (round 3, first run): inconclusive — each config paid its fresh
 remote compile inside the timed render (57.9 s vs 166.4 s wall include
-compiles; steady-state not isolated). The auto max_wavefront policy
-stays at 1<<17; re-run with warm passes if revisited.
+compiles). Fixed: a warm-up render per config now precedes the timed
+one, so the JSON lines are steady-state.
 """
 import json
 import os
@@ -40,14 +40,17 @@ def main():
                        depth_unroll=1, sample_unroll=1, max_wavefront=mw)
         r = Renderer(scene, opts)
         t0 = time.time()
+        r.render()  # warm-up: compiles + first-touch transfers
+        warm = time.time() - t0
+        t0 = time.time()  # render() restarts from pass 0 (no ckpt dir)
         film = r.render()
         dt = time.time() - t0
         rays = RES * RES * SPP * DEPTH * 2
         mean = float(np.asarray(film["color"]).mean())
         print(json.dumps({
-            "max_wavefront": mw, "s": round(dt, 1),
+            "max_wavefront": mw, "warm_s": round(warm, 1),
+            "s": round(dt, 1),
             "mrays": round(rays / dt / 1e6, 3), "mean": round(mean, 5),
-            "note": "includes compile for the first config",
         }), flush=True)
 
 
