@@ -413,7 +413,7 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
 def _trace(scene, p, d, t_limit, any_hit,
            dense_waves=0, chunk=4096, dense_chunk=16384, expand_batch=1,
            slab_bf16=False, front_levels=0, sc_topk="extract", front_k=0,
-           rows_bf16=False, fb_cc=64):
+           rows_bf16=False, fb_cc=64, recompact=0):
     """Core trace. Tunables (defaults = measured config):
 
     dense_waves: process the first W0 front-table columns for ALL rays
@@ -441,6 +441,13 @@ def _trace(scene, p, d, t_limit, any_hit,
     rows_bf16: bf16 triangle rows — half the wave-loop gather bytes
       (the measured bottleneck); selection-only precision (see
       _cluster_rows). Exact-safe OFF by default for closest-hit.
+    recompact: re-compact the straggler loop every `recompact` waves —
+      drop the columns the early-out already terminated (tn >= best_t),
+      left-pack the survivors per ray (packed-key row sort), and
+      re-sort rays by REMAINING work, so the per-wave prefix tracks
+      dynamic liveness instead of the static overlap histogram. 0 = off
+      (bit-identical winners either way; the rebuild only reorders
+      exact MT evaluations).
     """
     bvh = scene.bvh
     rows_tbl = _cluster_rows(scene, bf16=rows_bf16)
@@ -503,7 +510,7 @@ def _trace(scene, p, d, t_limit, any_hit,
         jnp.zeros((n,)),
     )
 
-    def make_chunk(w_eff, ww, ch, p_src, d_src):
+    def make_chunk(w_eff, ww, ch, p_src, d_src, tbl_t, tbl_c):
         def chunk_fn(ci, best):
             start = jnp.minimum(ci * ch, n - ch)
 
@@ -513,8 +520,8 @@ def _trace(scene, p, d, t_limit, any_hit,
             def sl2(x):
                 return jax.lax.dynamic_slice(x, (start, w_eff), (ch, ww))
 
-            c = sl2(s_ctbl)          # (ch, ww)
-            tn_c = sl2(s_ttbl)       # (ch, ww)
+            c = sl2(tbl_c)           # (ch, ww)
+            tn_c = sl2(tbl_t)        # (ch, ww)
             cur = tuple(sl(x) for x in best)
             live = (tn_c < cur[0][:, None]) & (tn_c < T_MAX)
             if any_hit:
@@ -541,37 +548,112 @@ def _trace(scene, p, d, t_limit, any_hit,
     W0 = min(dense_waves, kk) if dense_waves else 0
     if W0 > 0:
         CHD = min(dense_chunk, n)
-        dense_fn = make_chunk(0, W0, CHD, sp_p, sp_d)
+        dense_fn = make_chunk(0, W0, CHD, sp_p, sp_d, s_ttbl, s_ctbl)
         state0 = jax.lax.fori_loop(0, (n + CHD - 1) // CHD, dense_fn, state0)
 
-    def wave_cond(carry):
-        w, go = carry[0], carry[1]
-        return go & (w < kk)
+    def run_waves(tbl_t, tbl_c, p_src, d_src, alive_seg, state, w0, ncols):
+        """Straggler while-loop over columns [w0, ncols) of tbl_*."""
+        if w0 >= ncols:
+            return state
 
-    def wave_body(carry):
-        w, _, best = carry
-        a_w = jax.lax.dynamic_index_in_dim(alive_at, w, keepdims=False)
+        def wave_cond(carry):
+            w, go = carry[0], carry[1]
+            return go & (w < ncols)
 
-        w_eff = jnp.minimum(w, kk - WW)  # clamp: re-tested columns are
-        # duplicates the min-reduction ignores
-        chunk_fn = make_chunk(w_eff, WW, CH, sp_p, sp_d)
+        def wave_body(carry):
+            w, _, best = carry
+            a_w = jax.lax.dynamic_index_in_dim(alive_seg, w, keepdims=False)
 
-        n_ch = jnp.minimum((a_w + CH - 1) // CH, n_chunks_cap)
-        best = jax.lax.fori_loop(0, n_ch, chunk_fn, best)
-        w = w + WW
-        go = w < kk
-        go = go & (jax.lax.dynamic_index_in_dim(
-            alive_at, jnp.minimum(w, kk - 1), keepdims=False
-        ) > 0)
-        return w, go, best
+            w_eff = jnp.minimum(w, tbl_t.shape[1] - WW)  # clamp:
+            # re-tested columns are duplicates the min-reduction ignores
+            chunk_fn = make_chunk(w_eff, WW, CH, p_src, d_src, tbl_t, tbl_c)
 
-    go0 = (
-        (ttbl[:, W0] < T_MAX).any() if W0 < kk else jnp.asarray(False)
-    )
-    _, _, state = jax.lax.while_loop(
-        wave_cond, wave_body, (jnp.int32(W0), go0, state0)
-    )
-    best = tuple(x[inv] for x in state)
+            n_ch = jnp.minimum((a_w + CH - 1) // CH, n_chunks_cap)
+            best = jax.lax.fori_loop(0, n_ch, chunk_fn, best)
+            w = w + WW
+            go = w < ncols
+            go = go & (jax.lax.dynamic_index_in_dim(
+                alive_seg, jnp.minimum(w, ncols - 1), keepdims=False
+            ) > 0)
+            return w, go, best
+
+        go0 = alive_seg[w0] > 0
+        _, _, state = jax.lax.while_loop(
+            wave_cond, wave_body, (jnp.int32(w0), go0, state)
+        )
+        return state
+
+    if recompact and 0 < recompact < kk - W0:
+        # --- mid-traversal re-compaction: the static overlap sort keeps
+        # a ray in the wave prefix until its LAST front-table column,
+        # but the early-out (tn >= best_t) usually kills its tail much
+        # sooner. Every `recompact` waves, drop the dead columns,
+        # left-pack the survivors (packed-key row sort, cluster id in
+        # the tn mantissa — no per-lane gathers), and re-sort rays by
+        # remaining work; all per-ray state moves in ONE fat row gather
+        # (int columns float-encoded, the make_scene_tables idiom).
+        seg = min(W0 + recompact, kk)
+        state = run_waves(s_ttbl, s_ctbl, sp_p, sp_d, alive_at, state0,
+                          W0, seg)
+        tbl_t, tbl_c, rp, rd = s_ttbl, s_ctbl, sp_p, sp_d
+        ord_f = order.astype(jnp.float32)  # composed ray permutation
+        width, done_cols = kk, seg
+        nbits = max(1, (K - 1).bit_length())
+        key_mask = jnp.uint32(0xFFFFFFFF ^ ((1 << nbits) - 1))
+        tmax_key = (
+            jax.lax.bitcast_convert_type(jnp.float32(T_MAX), jnp.uint32)
+            & key_mask
+        )
+        while width - done_cols > 0:
+            M = width - done_cols
+            rem_t = tbl_t[:, done_cols:]
+            rem_c = tbl_c[:, done_cols:]
+            live = (rem_t < state[0][:, None]) & (rem_t < T_MAX)
+            if any_hit:
+                live = live & (state[1] < 0)[:, None]
+            # id-in-mantissa truncation only LOWERS tn (keys clamped
+            # nonneg) — permissive for the live gate; MT stays exact
+            bits = jax.lax.bitcast_convert_type(
+                jnp.maximum(rem_t, 0.0), jnp.uint32
+            )
+            packed = jnp.where(
+                live, (bits & key_mask) | rem_c.astype(jnp.uint32),
+                jnp.uint32(0xFFFFFFFF),
+            )
+            packed = jnp.sort(packed, axis=1)  # left-pack front-to-back
+            key_bits = packed & key_mask
+            new_t = jnp.where(
+                key_bits >= tmax_key, T_MAX,
+                jax.lax.bitcast_convert_type(key_bits, jnp.float32),
+            )
+            new_c = (packed & jnp.uint32((1 << nbits) - 1)).astype(jnp.int32)
+            over2 = live.sum(axis=1)
+            alive_seg = (over2[:, None] > jnp.arange(M)[None, :]).sum(axis=0)
+            order2 = jnp.argsort(-over2)
+            big = jnp.concatenate([
+                new_t, new_c.astype(jnp.float32), rp, rd,
+                state[0][:, None], state[1].astype(jnp.float32)[:, None],
+                state[2].astype(jnp.float32)[:, None],
+                state[3][:, None], state[4][:, None], ord_f[:, None],
+            ], axis=1)[order2]
+            o = 2 * M
+            tbl_t, tbl_c = big[:, :M], big[:, M:o].astype(jnp.int32)
+            rp, rd = big[:, o:o + 3], big[:, o + 3:o + 6]
+            state = (
+                big[:, o + 6], big[:, o + 7].astype(jnp.int32),
+                big[:, o + 8].astype(jnp.int32), big[:, o + 9],
+                big[:, o + 10],
+            )
+            ord_f = big[:, o + 11]
+            run_len = min(recompact, M)
+            state = run_waves(tbl_t, tbl_c, rp, rd, alive_seg, state,
+                              0, run_len)
+            width, done_cols = M, run_len
+        best = tuple(x[jnp.argsort(ord_f.astype(jnp.int32))] for x in state)
+    else:
+        state = run_waves(s_ttbl, s_ctbl, sp_p, sp_d, alive_at, state0,
+                          W0, kk)
+        best = tuple(x[inv] for x in state)
 
     # --- exact fallback for rays whose front table did not cover their
     # hit range (table overflow or supercluster horizon): brute-force
@@ -644,7 +726,8 @@ def intersect_clusters(scene, p, d, tmax=None, **tune):
     """Closest-hit via the gather-wave cluster tracer.
 
     tune: dense_waves / chunk / dense_chunk / expand_batch /
-    front_levels / sc_topk / front_k / rows_bf16 (see _trace).
+    front_levels / sc_topk / front_k / rows_bf16 / recompact
+    (see _trace).
     """
     n = p.shape[0]
     t0 = jnp.full((n,), T_MAX) if tmax is None else tmax

@@ -86,7 +86,7 @@ def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False,
     traversal), "per_ray" (vmapped per-ray stacks — oracle), "brute"
     (dense all-pairs — oracle / small scenes).
     tracer_tune: cluster-tracer launch-count tunables (dense_waves /
-    chunk / dense_chunk / expand_batch / slab_bf16 — see
+    chunk / dense_chunk / expand_batch / slab_bf16 / recompact — see
     accel/cluster_traverse._trace); ignored by other backends.
     """
     has_bvh = use_bvh and scene.bvh is not None

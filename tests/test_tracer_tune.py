@@ -27,6 +27,9 @@ TUNES = [
     {"dense_chunk": 2048},
     {"slab_bf16": True},
     {"dense_waves": 2, "expand_batch": 16, "slab_bf16": True},
+    {"recompact": 4},
+    {"recompact": 1, "chunk": 256},
+    {"recompact": 8, "dense_waves": 2},
 ]
 
 
@@ -65,7 +68,8 @@ def test_expand_batch_hierarchical_vs_brute(rig, monkeypatch):
     data, p, d, tmax, _, _ = rig
     monkeypatch.setattr(ct, "DENSE_K", 1)
     ref = intersect_brute(data, p, d)
-    for tune in ({"expand_batch": 16}, {"expand_batch": 3, "slab_bf16": True}):
+    for tune in ({"expand_batch": 16}, {"expand_batch": 3, "slab_bf16": True},
+                 {"recompact": 4}, {"recompact": 2, "expand_batch": 16}):
         got = ct.intersect_clusters(data, p, d, **tune)
         np.testing.assert_array_equal(
             np.asarray(got["hit"]), np.asarray(ref["hit"])
