@@ -1,0 +1,80 @@
+"""Round-3 TPU batch K: mid-traversal re-compaction sweep at BMW scale.
+
+The straggler wave loop is ~114 ms of the ~173 ms trace; its per-wave
+prefix comes from the STATIC overlap histogram (mean 7.55 / p99 30 on
+the car), but the early-out kills most rays' tails much sooner. The
+recompact tunable rebuilds the prefix from DYNAMIC liveness every R
+waves (accel/cluster_traverse._trace). Sweep R plus the secondary
+question: does a leaner prefix let bigger chunks win?
+
+    python tools/tpu_r3k_recompact.py 2>&1 | tee /tmp/tpu_r3k.log
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bmw_asset
+from phosphorus_mk2_tpu.accel import cluster_traverse as ct
+from phosphorus_mk2_tpu.accel.bvh_builder import attach_bvh
+from phosphorus_mk2_tpu.core.camera import camera_to_params, generate_rays
+
+N = 1 << 17
+ABC = "/tmp/bmw_class.abc"
+
+
+def timed(f, *a, reps=3):
+    out = jax.block_until_ready(f(*a))
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.time()
+        out = jax.block_until_ready(f(*a))
+        best = min(best, time.time() - t0)
+    return best, out
+
+
+def J(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    if not os.path.exists(ABC):
+        bmw_asset.write_asset(ABC, scale=1.0)
+    scene = bmw_asset.load_scene(ABC, 512, 512)
+    data = attach_bvh(scene.build())
+    cam = camera_to_params(scene.camera)
+    ids = jnp.arange(N, dtype=jnp.int32)
+    px, py = ids % 512, (ids // 512) % 512
+    u = jnp.full((N, 2), 0.5)
+    p, d = generate_rays(cam, px, py, u, u)
+
+    base = None
+    for tune in ({"front_k": 32},
+                 {"front_k": 32, "recompact": 8},
+                 {"front_k": 32, "recompact": 4},
+                 {"front_k": 32, "recompact": 8, "chunk": 8192}):
+        fn = jax.jit(lambda p, d, tune=tune:
+                     ct.intersect_clusters(data, p, d, **tune))
+        try:
+            b, out = timed(fn, p, d)
+            hits = int(np.asarray(out["hit"]).sum())
+            tri_sum = int(np.asarray(out["tri"]).sum())
+            if base is None:
+                base = (hits, tri_sum)
+            J(trace=str(tune), ms=round(b * 1e3, 1),
+              mrays=round(N / b / 1e6, 2), hits=hits,
+              winners_match=(hits, tri_sum) == base)
+        except Exception as e:  # noqa: BLE001 - log-and-continue probe
+            J(trace=str(tune), error=repr(e)[:200])
+
+
+if __name__ == "__main__":
+    main()
