@@ -199,20 +199,28 @@ def _front_table_dense(pp, dd, bvh, t_limit, kk, slab_bf16=False):
     return -neg_top, ctbl, jnp.float32(T_MAX)  # sc horizon: fully covered
 
 
+def _key_consts(nvals):
+    """Packed-key constants for embedding an id in [0, nvals) into the
+    low mantissa bits of a nonnegative f32 tnear key. Returns
+    (key_mask, tmax_key, nbits)."""
+    nbits = max(1, (nvals - 1).bit_length())
+    key_mask = jnp.uint32(0xFFFFFFFF ^ ((1 << nbits) - 1))
+    tmax_key = (
+        jax.lax.bitcast_convert_type(jnp.float32(T_MAX), jnp.uint32)
+        & key_mask
+    )
+    return key_mask, tmax_key, nbits
+
+
 def _pack_cols(cand_t, ncols):
     """Pack the column index into the low mantissa bits of nonnegative
     tnear keys (bit order = float order for nonneg f32). Truncation only
     lowers tn — conservative for horizon tests. Returns (packed uint32,
     key_mask, tmax_key, nbits)."""
-    nbits = max(1, (ncols - 1).bit_length())
-    key_mask = jnp.uint32(0xFFFFFFFF ^ ((1 << nbits) - 1))
+    key_mask, tmax_key, nbits = _key_consts(ncols)
     bits = jax.lax.bitcast_convert_type(cand_t, jnp.uint32)
     col = jnp.arange(ncols, dtype=jnp.uint32)[None, :]
     packed = (bits & key_mask) | col
-    tmax_key = (
-        jax.lax.bitcast_convert_type(jnp.float32(T_MAX), jnp.uint32)
-        & key_mask
-    )
     return packed, key_mask, tmax_key, nbits
 
 
@@ -413,7 +421,7 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
 def _trace(scene, p, d, t_limit, any_hit,
            dense_waves=0, chunk=4096, dense_chunk=16384, expand_batch=1,
            slab_bf16=False, front_levels=0, sc_topk="extract", front_k=0,
-           rows_bf16=False, fb_cc=64, recompact=0):
+           rows_bf16=False, fb_cc=64, recompact=0, dense_k=0):
     """Core trace. Tunables (defaults = measured config):
 
     dense_waves: process the first W0 front-table columns for ALL rays
@@ -445,9 +453,19 @@ def _trace(scene, p, d, t_limit, any_hit,
       drop the columns the early-out already terminated (tn >= best_t),
       left-pack the survivors per ray (packed-key row sort), and
       re-sort rays by REMAINING work, so the per-wave prefix tracks
-      dynamic liveness instead of the static overlap histogram. 0 = off
-      (bit-identical winners either way; the rebuild only reorders
-      exact MT evaluations).
+      dynamic liveness instead of the static overlap histogram. 0 = off.
+      Winners identical up to exact-t ties: the repack re-orders MT
+      evaluations by (truncated tn, cluster id), so two triangles in
+      different clusters at EXACTLY the same t can resolve to the other
+      id vs the recompact=0 order (strict t < best reduction).
+      Compile-size note: the Python loop unrolls ~(kk - W0)/recompact
+      rounds (each a row sort + fat concat-gather + while_loop); on the
+      remote-compile platform keep recompact >= ~kk/8 — recompact=1 at
+      kk=48 emits ~47 copies and a pathological compile.
+    dense_k: override the DENSE_K hierarchy threshold (cluster count
+      above which the supercluster front table engages). Lets small
+      test scenes exercise the hierarchical BMW-scale path declaratively
+      (the multichip dryrun) instead of mutating the module global.
     """
     bvh = scene.bvh
     rows_tbl = _cluster_rows(scene, bf16=rows_bf16)
@@ -464,7 +482,7 @@ def _trace(scene, p, d, t_limit, any_hit,
     t_limit = jax.lax.stop_gradient(t_limit)
 
     kk = min(front_k or MAX_FRONT, K)
-    hierarchical = K > DENSE_K and "sc_bmin" in bvh
+    hierarchical = K > (dense_k or DENSE_K) and "sc_bmin" in bvh
     if hierarchical:
         if front_levels == 0:  # auto (pending round-3 TPU measurement)
             front_levels = 2
@@ -592,18 +610,21 @@ def _trace(scene, p, d, t_limit, any_hit,
         # the tn mantissa — no per-lane gathers), and re-sort rays by
         # remaining work; all per-ray state moves in ONE fat row gather
         # (int columns float-encoded, the make_scene_tables idiom).
+        if n >= 1 << 24:
+            # ray index / cluster id round-trip through f32 in the fat
+            # state row below — exact only below 2^24 (auto-chunking
+            # keeps wavefronts at 1<<17; guard direct callers)
+            raise ValueError(
+                f"recompact requires wavefront < 2^24 rays (got {n}); "
+                "chunk the wavefront or pass recompact=0"
+            )
         seg = min(W0 + recompact, kk)
         state = run_waves(s_ttbl, s_ctbl, sp_p, sp_d, alive_at, state0,
                           W0, seg)
         tbl_t, tbl_c, rp, rd = s_ttbl, s_ctbl, sp_p, sp_d
         ord_f = order.astype(jnp.float32)  # composed ray permutation
         width, done_cols = kk, seg
-        nbits = max(1, (K - 1).bit_length())
-        key_mask = jnp.uint32(0xFFFFFFFF ^ ((1 << nbits) - 1))
-        tmax_key = (
-            jax.lax.bitcast_convert_type(jnp.float32(T_MAX), jnp.uint32)
-            & key_mask
-        )
+        key_mask, tmax_key, nbits = _key_consts(K)
         while width - done_cols > 0:
             M = width - done_cols
             rem_t = tbl_t[:, done_cols:]
@@ -621,12 +642,7 @@ def _trace(scene, p, d, t_limit, any_hit,
                 jnp.uint32(0xFFFFFFFF),
             )
             packed = jnp.sort(packed, axis=1)  # left-pack front-to-back
-            key_bits = packed & key_mask
-            new_t = jnp.where(
-                key_bits >= tmax_key, T_MAX,
-                jax.lax.bitcast_convert_type(key_bits, jnp.float32),
-            )
-            new_c = (packed & jnp.uint32((1 << nbits) - 1)).astype(jnp.int32)
+            new_t, new_c = _unpack_keys(packed, key_mask, tmax_key, nbits)
             over2 = live.sum(axis=1)
             alive_seg = (over2[:, None] > jnp.arange(M)[None, :]).sum(axis=0)
             order2 = jnp.argsort(-over2)
@@ -726,7 +742,7 @@ def intersect_clusters(scene, p, d, tmax=None, **tune):
     """Closest-hit via the gather-wave cluster tracer.
 
     tune: dense_waves / chunk / dense_chunk / expand_batch /
-    front_levels / sc_topk / front_k / rows_bf16 / recompact
+    front_levels / sc_topk / front_k / rows_bf16 / recompact / dense_k
     (see _trace).
     """
     n = p.shape[0]

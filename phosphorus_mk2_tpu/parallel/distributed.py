@@ -128,11 +128,21 @@ class CommAccounting:
     compute_rays: int  # rays traced in the same step, for ratio context
 
     def summary(self) -> str:
+        def fmt(b: int) -> str:
+            # adaptive units: a 280 KB vertex-grad ring must not print
+            # as "0.00 MB" (round-3 verdict) — and a true zero must be
+            # distinguishable from a rounded one
+            if b == 0:
+                return "0 B"
+            if b < 1 << 20:
+                return f"{b / 1024:.1f} KB"
+            return f"{b / 1e6:.2f} MB"
+
         return (
-            f"film gather {self.film_gather_bytes / 1e6:.2f} MB/pass; "
-            f"grad all-reduce {self.grad_ici_bytes_per_chip / 1e6:.2f} MB/chip ICI"
-            f" + {self.grad_dcn_bytes_per_host / 1e6:.2f} MB/host DCN; "
-            f"{self.compute_rays / 1e6:.1f} Mrays of compute "
+            f"film gather {fmt(self.film_gather_bytes)}/pass; "
+            f"grad all-reduce {fmt(self.grad_ici_bytes_per_chip)}/chip ICI"
+            f" + {fmt(self.grad_dcn_bytes_per_host)}/host DCN; "
+            f"{self.compute_rays:,} rays of compute "
             f"({self.film_gather_bytes / max(self.compute_rays, 1):.1f} B/ray film)"
         )
 

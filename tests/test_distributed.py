@@ -50,7 +50,9 @@ def test_comm_accounting_numbers():
     assert acc.grad_dcn_bytes_per_host == int(2 * 1 / 2 * 4000)
     assert acc.compute_rays == 256 * 256 * 4 * 3 * 2
     s = acc.summary()
-    assert "ICI" in s and "DCN" in s and "Mrays" in s
+    assert "ICI" in s and "DCN" in s and "rays" in s
+    # sub-MB grad rings must not round to zero (round-3 verdict)
+    assert "0.00 MB" not in s and "5.9 KB" in s, s
 
 
 def test_comm_accounting_single_host_no_dcn():

@@ -30,6 +30,11 @@ TUNES = [
     {"recompact": 4},
     {"recompact": 1, "chunk": 256},
     {"recompact": 8, "dense_waves": 2},
+    # dense_k=1 engages the hierarchical supercluster front table on
+    # this small scene (the declarative replacement for the DENSE_K
+    # monkey-patch, round-3 verdict item 7)
+    {"dense_k": 1},
+    {"dense_k": 1, "recompact": 4},
 ]
 
 
