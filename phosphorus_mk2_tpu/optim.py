@@ -51,6 +51,7 @@ class InverseRenderer:
         fresh_rng: bool = True,
         log_emission: bool = False,
         unbiased_loss: bool = False,
+        views=None,
     ):
         """fresh_rng: new sample paths per step (unbiased stochastic
         gradients); False reuses one fixed path set — deterministic
@@ -70,7 +71,16 @@ class InverseRenderer:
         1.48 > loss(dim recovered point) = 1.03 (tools/bmw_c5_probe.py).
         E[(img1-t)(img2-t)] = bias^2 + Var(target) instead — the
         parameter-dependent variance term cancels. Same cost per step
-        (the spp budget is split)."""
+        (the spp budget is split).
+        views: optional list of (camera, target_image) pairs — steps
+        round-robin over views (step i uses view i % V), all under ONE
+        jit: the per-view camera params are stacked and indexed with a
+        traced view id, so no recompile per view. A single 192² view of
+        the BMW observes the G/B lamp channels only through indirect
+        paint bounces (measured: G/B rel err plateaus ~3x worse than R,
+        tools/bmw_config5b.py); extra views make them identifiable.
+        When set, `target` is ignored; all views must share the primary
+        camera's resolution."""
         for f in trainable:
             if f not in TRAINABLE_FIELDS:
                 raise ValueError(f"not trainable: {f}")
@@ -91,15 +101,29 @@ class InverseRenderer:
 
         self.data = jax.device_put(self.data, NamedSharding(self.mesh, P()))
 
-        cam = camera_to_params(scene.camera)
-        tracer = make_tracer(data, use_bvh)
+        view_list = list(views) if views else [(scene.camera, target)]
+        self._n_views = len(view_list)
         w, h = scene.camera.width, scene.camera.height
+        for vc, vt in view_list:
+            if (vc.width, vc.height) != (w, h):
+                raise ValueError(
+                    f"view resolution {vc.width}x{vc.height} != "
+                    f"primary {w}x{h}"
+                )
+        # (V,)-stacked camera leaves, indexed per step with a traced id
+        cams = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32) for x in xs]),
+            *[camera_to_params(vc) for vc, _ in view_list],
+        )
+        tracer = make_tracer(data, use_bvh)
         px, py, n_valid = shard_pixels(self.mesh, w, h)
-        target_flat = np.asarray(target, np.float32).reshape(-1, 3)
-        pad = px.shape[0] - target_flat.shape[0]
-        target_flat = np.pad(target_flat, ((0, pad), (0, 0)))
+        targets_flat = np.stack([
+            np.asarray(vt, np.float32).reshape(-1, 3) for _, vt in view_list
+        ])  # (V, H*W, 3)
+        pad = px.shape[0] - targets_flat.shape[1]
+        targets_flat = np.pad(targets_flat, ((0, 0), (0, pad), (0, 0)))
         target_dev = jax.device_put(
-            target_flat, NamedSharding(self.mesh, P("wave"))
+            targets_flat, NamedSharding(self.mesh, P(None, "wave"))
         )
         mask = (np.arange(px.shape[0]) < n_valid).astype(np.float32)[:, None]
         mask_dev = jax.device_put(mask, NamedSharding(self.mesh, P("wave")))
@@ -119,7 +143,7 @@ class InverseRenderer:
         _unbiased = bool(unbiased_loss)
         half = max(1, spp // 2)
 
-        def _render(sd, key, n):
+        def _render(sd, cam, key, n):
             out = render_pass_pixels(
                 sd, cam, key, 0, n, px, py, max_depth=max_depth,
                 tracer=tracer,
@@ -128,22 +152,26 @@ class InverseRenderer:
             )
             return out["color"] / n
 
-        def loss_fn(params, scene_data, key):
+        def loss_fn(params, scene_data, key, view_idx):
             fields = dict(params)
             if _log_em:
                 fields["emission"] = jnp.exp(fields["emission"])
             sd = dataclasses.replace(scene_data, **fields)
+            cam = jax.tree_util.tree_map(lambda x: x[view_idx], cams)
+            tgt = target_dev[view_idx]
             if _unbiased:
                 k1, k2 = jax.random.split(key)
-                e1 = (_render(sd, k1, half) - target_dev) * mask_dev
-                e2 = (_render(sd, k2, half) - target_dev) * mask_dev
+                e1 = (_render(sd, cam, k1, half) - tgt) * mask_dev
+                e2 = (_render(sd, cam, k2, half) - tgt) * mask_dev
                 return jnp.sum(e1 * e2) / jnp.sum(mask_dev)
-            err = (_render(sd, key, spp) - target_dev) * mask_dev
+            err = (_render(sd, cam, key, spp) - tgt) * mask_dev
             return jnp.sum(err * err) / jnp.sum(mask_dev)
 
         @jax.jit
-        def train_step(params, opt_state, scene_data, key):
-            loss, grads = jax.value_and_grad(loss_fn)(params, scene_data, key)
+        def train_step(params, opt_state, scene_data, key, view_idx):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, scene_data, key, view_idx
+            )
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
@@ -157,8 +185,9 @@ class InverseRenderer:
             self.key, sub = jax.random.split(self.key)
         else:
             sub = self.key
+        vi = jnp.int32(self._step_count % self._n_views)
         self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, self.data, sub
+            self.params, self.opt_state, self.data, sub, vi
         )
         self._step_count += 1
         return float(loss)

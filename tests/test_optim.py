@@ -122,3 +122,67 @@ def test_unbiased_loss_removes_variance_dimming():
         ratios[unb] = float((rec[rows] / true_e[rows]).mean())
     # the biased run must land dimmer than the unbiased one
     assert ratios[True] > ratios[False] + 0.05, ratios
+
+
+def test_multi_view_round_robin():
+    """views=[(cam, target), ...] round-robins under ONE jit (stacked
+    camera leaves indexed by a traced view id) and still recovers
+    parameters — the BMW config-5 G/B identifiability fix."""
+    import dataclasses
+
+    import numpy as np
+
+    from phosphorus_mk2_tpu.core.options import Options
+    from phosphorus_mk2_tpu.integrator.path import render_aovs
+    from phosphorus_mk2_tpu.optim import InverseRenderer
+    from phosphorus_mk2_tpu.scenes import sphere_in_box
+
+    res = 12
+    scene = sphere_in_box(width=res, height=res)
+    data = scene.build()
+
+    cam0 = scene.camera
+    tw = np.array(cam0.to_world, np.float32).copy()
+    tw[3, 0] += 0.35  # second view: slide the eye sideways
+    cam1 = dataclasses.replace(cam0, to_world=tw)
+    views = []
+    for cam in (cam0, cam1):
+        img = np.asarray(render_aovs(
+            data, cam, spp=4, max_depth=2,
+            options=Options(use_bvh=False, samples_per_pass=4))["color"])
+        views.append((cam, img))
+    # the two targets must actually differ (distinct viewpoints)
+    assert np.abs(views[0][1] - views[1][1]).max() > 1e-3
+
+    true_e = np.asarray(data.emission)[3].copy()
+    perturbed = sphere_in_box(width=res, height=res)
+    perturbed.materials[3].emission = tuple(float(x) * 0.3 for x in true_e)
+    inv = InverseRenderer(
+        perturbed, None, trainable=("emission",), learning_rate=0.5,
+        spp=2, max_depth=2, use_bvh=False, seed=1, views=views,
+    )
+    assert inv._n_views == 2
+    losses = inv.run(80)
+    assert np.mean(losses[-10:]) < losses[0] * 0.6, losses[::10]
+    recovered = np.asarray(inv.params["emission"])[3]
+    np.testing.assert_allclose(recovered, true_e, rtol=0.3)
+
+
+def test_multi_view_resolution_mismatch_rejected():
+    import dataclasses
+
+    import numpy as np
+    import pytest
+
+    from phosphorus_mk2_tpu.optim import InverseRenderer
+    from phosphorus_mk2_tpu.scenes import sphere_in_box
+
+    scene = sphere_in_box(width=12, height=12)
+    bad_cam = dataclasses.replace(scene.camera, width=8, height=8)
+    img = np.zeros((12, 12, 3), np.float32)
+    with pytest.raises(ValueError, match="resolution"):
+        InverseRenderer(
+            scene, None, trainable=("emission",), spp=2, max_depth=2,
+            use_bvh=False,
+            views=[(scene.camera, img), (bad_cam, np.zeros((8, 8, 3)))],
+        )

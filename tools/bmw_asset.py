@@ -129,10 +129,11 @@ def add_materials(scene: Scene) -> None:
     scene.set_environment(Material.background((0.35, 0.45, 0.6), power=0.35))
 
 
-def make_camera(width=1024, height=1024) -> Camera:
+def make_camera(width=1024, height=1024, eye=(4.6, 2.3, 4.8),
+                target=(0.0, 0.7, 0.0)) -> Camera:
     to_world = np.eye(4, dtype=np.float32)
-    eye = np.array([4.6, 2.3, 4.8], np.float32)
-    target = np.array([0.0, 0.7, 0.0], np.float32)
+    eye = np.array(eye, np.float32)
+    target = np.array(target, np.float32)
     fwd = target - eye
     fwd /= np.linalg.norm(fwd)
     right = np.cross(fwd, [0, 1, 0])
