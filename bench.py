@@ -212,38 +212,184 @@ def main() -> int:
             "baseline is the same integrator measured on the host CPU "
             "(reference C++ unbuildable here, publishes no numbers)"
         ),
-        # BASELINE.json names the BMW scene; re-measuring it here costs
-        # minutes (asset build + the 887k-tri cluster-program remote
-        # compile) so the default line carries the last measured numbers
-        # with provenance — run `python bench.py --bmw` to re-measure.
-        "bmw_fwd_rays_per_sec_measured": BMW_MEASURED,
-        "bmw_cpu_baseline_rays_per_sec_measured": BMW_CPU_BASELINE,
-        "bmw_vs_baseline": round(BMW_MEASURED / BMW_CPU_BASELINE, 1),
-        "bmw_measured_note": BMW_NOTE,
     }
     print(json.dumps(result))
     if bvh_line is not None:
         print(json.dumps(bvh_line))
 
+    # third always-on line: LIVE BMW-scale measurement (887k tris) so a
+    # traversal regression at scale moves BENCH_r*.json (round-3 verdict
+    # item 3: the previous pasted constants were regression-blind)
+    try:
+        print(json.dumps(bmw_live()))
+    except Exception as e:  # the first two lines must still print
+        print(json.dumps({"metric": "bmw_live_fwd_rays_per_sec",
+                          "error": repr(e)[:300]}))
+
     if "--bmw" in sys.argv:
         print(json.dumps(bmw_extra()))
+        print(json.dumps(bmw_fwd_bwd()))
     return 0 if ok else 1
 
 
-# Measured BMW-scale numbers carried with provenance (re-measured by
-# tools/tpu_r3b_split.py on-chip and tools/r3_cpu_baseline.py on-host;
-# `python bench.py --bmw` re-measures the TPU side live).
-BMW_MEASURED = 0.88e6
+# Host-CPU BMW baseline, measured by tools/r3_cpu_baseline.py.
+# HONEST FRAMING (round-3 verdict item 5): this denominator is THIS
+# framework's integrator on this host's 2-core XLA-CPU backend — NOT
+# the reference. The reference's AVX2 stream-BVH tracer on a real
+# workstation would plausibly run 1e5-1e6 rays/s (it is unbuildable in
+# this container and publishes no numbers), so bmw_vs_baseline is a
+# portability ratio, not evidence of beating the reference; the
+# roofline fields below are the honest absolute-performance framing.
 BMW_CPU_BASELINE = 2170.6
-BMW_NOTE = (
-    "887k-tri Ogawa-imported BMW-class scene, 512^2 spp4 depth4 "
-    "steady-state render_pass (round-3 tracer: treelet clusters, "
-    "extract select, axis-accumulated slabs, front_k 32, chunk 4096 — "
-    "tools/tpu_r3h_axis.py; was 0.58e6 in round 2). CPU baseline = "
-    "same integrator+cluster tracer on this host's 2-core CPU "
-    "(tools/r3_cpu_baseline.py, 120.8 s/pass at 128^2 spp2) — the "
-    "reference C++ is unbuildable here and publishes no numbers"
-)
+# Measured gather bandwidth at BMW scale (tools/tpu_r3c_levers.py):
+# cluster-row gathers sustain ~125 GB/s; the wave loop's byte floor.
+GATHER_GBPS = 125.0
+
+
+def bmw_live() -> dict:
+    """Always-on LIVE BMW-scale line: a 1<<17-ray closest-hit trace on
+    the 887k-tri asset (cached in /tmp), plus a front-table-only timing
+    so the wave loop's achieved gather GB/s vs the measured 125 GB/s
+    roofline is reported live (round-3 verdict items 3 and 5)."""
+    import functools
+    import os
+    import sys as _sys
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    import bmw_asset
+
+    from phosphorus_mk2_tpu.accel import cluster_traverse as ct
+    from phosphorus_mk2_tpu.accel.bvh_builder import attach_bvh
+    from phosphorus_mk2_tpu.core.camera import camera_to_params, generate_rays
+
+    abc = "/tmp/bmw_class.abc"
+    if not os.path.exists(abc):
+        bmw_asset.write_asset(abc, scale=1.0)
+    N = 1 << 17
+    scene = bmw_asset.load_scene(abc, 512, 512)
+    data = attach_bvh(scene.build())
+    cam = camera_to_params(scene.camera)
+    ids = jnp.arange(N, dtype=jnp.int32)
+    u = jnp.full((N, 2), 0.5)
+    p, d = generate_rays(cam, ids % 512, (ids // 512) % 512, u, u)
+
+    trace = jax.jit(lambda p, d: ct.intersect_clusters(data, p, d))
+    t_trace, out = _timed(lambda: trace(p, d))
+    hits = int(np.asarray(out["hit"]).sum())
+
+    # decomposition: front-table-only time + per-ray cluster overlap ->
+    # wave-loop bytes -> achieved gather GB/s
+    kk = min(ct.MAX_FRONT, data.bvh["cluster_bmin"].shape[0])
+
+    def front(p, d):
+        tl = jnp.full((N,), ct.T_MAX)
+        ttbl, _, _ = ct._front_table_hierarchical(
+            p, d, data.bvh, tl, kk, expand_batch=1,
+            slab_bf16=False, levels=2, sc_topk="extract")
+        return (ttbl < ct.T_MAX).sum()
+
+    fr = jax.jit(front)
+    t_front, overlap_sum = _timed(lambda: fr(p, d))
+    rows = ct._cluster_rows(data, bf16=False)
+    row_bytes = rows.shape[1] * rows.shape[2] * 4
+    wave_gb = float(overlap_sum) * row_bytes / 1e9
+    t_wave = max(t_trace - t_front, 1e-9)
+    achieved = wave_gb / t_wave
+    return {
+        "metric": "bmw_live_fwd_rays_per_sec",
+        "value": round(N / t_trace, 1),
+        "unit": "rays/s",
+        "trace_ms": round(t_trace * 1e3, 1),
+        "front_table_ms": round(t_front * 1e3, 1),
+        "wave_loop_ms": round(t_wave * 1e3, 1),
+        "hits": hits,
+        "wave_loop_gather_gb": round(wave_gb, 2),
+        "achieved_gather_gbps": round(achieved, 1),
+        "pct_of_gather_roofline": round(100 * achieved / GATHER_GBPS, 1),
+        "note": (
+            "LIVE 1<<17-ray closest-hit trace, 887k-tri Ogawa-imported "
+            "asset, production tracer defaults; roofline = measured "
+            f"{GATHER_GBPS:.0f} GB/s cluster-row gather bandwidth "
+            "(tools/tpu_r3c_levers.py); bytes = front-table overlap x "
+            "row size (upper bound - early-out culls some)"
+        ),
+    }
+
+
+def bmw_fwd_bwd() -> dict:
+    """--bmw extra: the NORTH-STAR metric on the north-star scene —
+    fwd+bwd rays/s on the BMW asset (gradient of a pixel loss through
+    the production cluster tracer; round-3 verdict item 2: this number
+    had never been measured)."""
+    import dataclasses as _dc
+    import functools
+    import os
+    import sys as _sys
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    import bmw_asset
+
+    from phosphorus_mk2_tpu.accel.bvh_builder import attach_bvh
+    from phosphorus_mk2_tpu.core.camera import camera_to_params
+    from phosphorus_mk2_tpu.integrator.path import (
+        make_tracer,
+        render_pass_pixels,
+    )
+
+    abc = "/tmp/bmw_class.abc"
+    if not os.path.exists(abc):
+        bmw_asset.write_asset(abc, scale=1.0)
+    N, SPP_B, DEPTH_B = 1 << 16, 2, 3
+    RES = 512
+    scene = bmw_asset.load_scene(abc, RES, RES)
+    data = attach_bvh(scene.build())
+    cam = camera_to_params(scene.camera)
+    tracer = make_tracer(data, use_bvh=True)
+    ids = jnp.arange(N, dtype=jnp.int32)
+    px, py = ids % RES, (ids // RES) % RES
+    key = jax.random.key(0)
+    params = {
+        "emission": data.emission,
+        "lobe_weight": data.lobe_weight,
+        "vertices": data.vertices,
+    }
+
+    def loss(params, data, key):
+        d2 = _dc.replace(data, **params)
+        out = render_pass_pixels(
+            d2, cam, key, 0, SPP_B, px, py, max_depth=DEPTH_B,
+            tracer=tracer, sorted_dispatch=False,
+        )
+        return out["color"].sum()
+
+    grad = jax.jit(jax.grad(loss))
+    rays = N * SPP_B * DEPTH_B * 2
+    t_b, g = _timed(lambda: grad(params, data, key))
+    finite = all(bool(np.isfinite(np.asarray(v)).all()) for v in g.values())
+    return {
+        "metric": "bmw_fwd_bwd_rays_per_sec",
+        "value": round(rays / t_b, 1),
+        "unit": "rays/s",
+        "step_ms": round(t_b * 1e3, 1),
+        "rays": rays,
+        "grads_finite": finite,
+        "tris": int(data.faces.shape[0]),
+        "wavefront": N, "spp": SPP_B, "depth": DEPTH_B,
+        "note": (
+            "BASELINE.md north star at BMW scale: one value_and_grad "
+            "step of a pixel loss (emission + lobe weights + vertices) "
+            "through the production cluster tracer, 1<<16-pixel "
+            "512^2-class wavefront"
+        ),
+    }
 
 
 def bmw_extra() -> dict:
@@ -293,8 +439,11 @@ def bmw_extra() -> dict:
         "mean": round(mean, 5),
         "note": (
             "887k-tri Ogawa-imported asset; treelet clusters + extract "
-            "selection (round-3, tools/tpu_r3_front.py); CPU baseline "
-            "measured by tools/r3_cpu_baseline.py on this 2-core host"
+            "selection (round-3, tools/tpu_r3_front.py). vs_baseline "
+            "denominator is THIS framework on the host's 2-core XLA-CPU "
+            "(tools/r3_cpu_baseline.py) — NOT the reference; the "
+            "reference's AVX2 tracer on a workstation would plausibly "
+            "run 1e5-1e6 rays/s (unbuildable here, publishes none)"
         ),
     }
 
