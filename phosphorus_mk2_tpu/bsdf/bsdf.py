@@ -215,7 +215,17 @@ def apply_textures(
     flat_tex = tex.reshape(-1)
     flat_st = jnp.broadcast_to(st[:, None, :], (n, L, 2)).reshape(-1, 2)
     flat_fp = None
-    if footprint is not None:
+    if isinstance(footprint, dict):
+        # anisotropic footprint (integrator _footprint): broadcast each
+        # per-ray field over the lobe-slot axis
+        flat_fp = {
+            "minor": jnp.broadcast_to(
+                footprint["minor"][:, None], (n, L)).reshape(-1),
+            "major_uv": jnp.broadcast_to(
+                footprint["major_uv"][:, None, :], (n, L, 2)).reshape(-1, 2),
+            "taps": footprint["taps"],
+        }
+    elif footprint is not None:
         flat_fp = jnp.broadcast_to(footprint[:, None], (n, L)).reshape(-1)
     factor = _sample_any(scene, flat_tex, flat_st, footprint=flat_fp)
     factor = factor.reshape(n, L, 3)

@@ -45,6 +45,11 @@ class Options:
                                    # (4 when samples_per_pass % 4 == 0)
     spp_batch: int = 1             # samples folded into one wavefront
     remat: bool = False            # jax.checkpoint the bounce body (grad)
+    aniso_taps: int = 0            # anisotropic texture taps along the
+                                   # footprint's uv major axis (0 =
+                                   # isotropic trilinear); the TPU
+                                   # stand-in for the reference's OIIO
+                                   # EWA (src/material.cpp:127-129)
     tracer_tune: dict | None = None  # cluster-tracer launch-count knobs
                                    # (dense_waves/chunk/dense_chunk/
                                    # expand_batch/slab_bf16), see

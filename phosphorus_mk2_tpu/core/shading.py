@@ -120,7 +120,11 @@ def shading_parameters(
     area_t = jnp.abs(e0t[..., 0] * e1t[..., 1] - e0t[..., 1] * e1t[..., 0])
     uv_scale = jnp.sqrt(area_t / jnp.maximum(area_w, 1e-20))
 
-    out = {"p": p, "n": n, "ng": n_geom, "st": st, "uv_scale": uv_scale}
+    out = {"p": p, "n": n, "ng": n_geom, "st": st, "uv_scale": uv_scale,
+           # triangle edge pairs (world / uv) for the anisotropic
+           # footprint's world->uv direction mapping (integrator
+           # _footprint); slices of already-loaded values, zero gathers
+           "edges": (e0w, e1w, e0t, e1t)}
     if tans is not None:
         t0, t1, t2 = tans
         out["tangent"] = normalize(

@@ -153,6 +153,65 @@ def pack_textures(textures: list, mips: bool = True) -> dict:
     return {"atlas": atlas, "info": info, "proc": proc, "proc_params": proc_params}
 
 
+def _pick_level(rows, lsel, n_levels):
+    """Per-level row selection via static broadcast-selects over the
+    (already gathered) (N, L, 4) rows — a fancy-index rows[nrows, lsel]
+    is a per-LANE gather: 1.48x total textured-render cost vs 1.25x
+    with selects (tools/tpu_r3i_tex.py: 396.9 -> 335.6 ms trilinear,
+    267.9 ms unfiltered; the residual cost is the honest 8- vs 4-texel
+    gather and lod math)."""
+    out = rows[:, 0]
+    for lv in range(1, n_levels):
+        out = jnp.where((lsel == lv)[:, None], rows[:, lv], out)
+    return out
+
+
+def _sample_aniso(flat, rows, aw, n_levels, uv, fp):
+    """Anisotropic filter: `taps` trilinear probes spread along the
+    uv-space major-axis vector, box-averaged; the mip level comes from
+    the MINOR axis so the minification direction stays sharp (the EWA
+    property the reference inherits from OIIO, src/material.cpp:127-129;
+    EWA's gaussian weighting is approximated by the box line average).
+    ALL taps x both levels ride in ONE stacked (N, taps*8) gather."""
+    minor = fp["minor"]
+    major = fp["major_uv"]  # (N, 2) uv vector, full extent
+    taps = int(fp.get("taps", 4))
+
+    # gap-free line sampling: each tap's isotropic filter must cover
+    # major/taps of the line, so the lod axis is max(minor, major/taps)
+    # — the aspect ratio the probes can't span folds back into the lod
+    # (OIIO does the same when aspect > nprobes)
+    major_len = jnp.sqrt(jnp.maximum((major * major).sum(-1), 1e-20))
+    minor = jnp.maximum(minor, major_len / taps)
+
+    base = jnp.maximum(rows[:, 0, 2], rows[:, 0, 3]).astype(jnp.float32)
+    lod = jnp.log2(jnp.maximum(minor, 1e-20) * base)
+    lod = jnp.clip(lod, 0.0, n_levels - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_levels - 1)
+    tl = (lod - l0.astype(jnp.float32))[..., None]
+    row0 = _pick_level(rows, l0, n_levels)
+    row1 = _pick_level(rows, l1, n_levels)
+
+    idxs, wts0, wts1 = [], [], []
+    for k in range(taps):
+        off = (k + 0.5) / taps - 0.5
+        uv_k = uv + major * off
+        i0, w0 = _bilinear_idx_weights(row0, uv_k, aw)
+        i1, w1 = _bilinear_idx_weights(row1, uv_k, aw)
+        idxs.extend([i0, i1])
+        wts0.append(w0)
+        wts1.append(w1)
+    idx = jnp.concatenate(idxs, axis=-1)  # (N, taps*8)
+    texels = flat[idx].reshape(idx.shape[0], taps, 2, 4, -1)
+    w0 = jnp.stack(wts0, axis=1)  # (N, taps, 4)
+    w1 = jnp.stack(wts1, axis=1)
+    c0 = (texels[:, :, 0] * w0[..., None]).sum(axis=-2)  # (N, taps, 3)
+    c1 = (texels[:, :, 1] * w1[..., None]).sum(axis=-2)
+    per_tap = c0 * (1.0 - tl[:, None]) + c1 * tl[:, None]
+    return per_tap.mean(axis=1)
+
+
 def _bilinear_idx_weights(row, uv, aw):
     """Flat atlas indices (…, 4) + bilinear weights for one mip row."""
     y0 = row[..., 0].astype(jnp.float32)
@@ -198,14 +257,20 @@ def _bilinear_idx_weights(row, uv, aw):
 
 def sample_texture(atlas: jnp.ndarray, info: jnp.ndarray, tex_id, uv,
                    footprint=None):
-    """Bilinear (footprint=None) or trilinear-mip atlas sample.
+    """Bilinear (footprint=None), trilinear-mip ((N,) footprint) or
+    anisotropic (dict footprint) atlas sample.
 
     tex_id: (N,) int32 (clamped >= 0 by caller; callers mask by
     tex_id >= 0). uv: (N, 2) in [0, inf) — repeat wrapped.
     footprint: optional (N,) uv-space sample diameter (ray-cone width x
     per-triangle uv scale); selects the mip level pair whose texel pitch
     brackets it, like OSL texture() over an OIIO cache does for the
-    reference (src/material.cpp:127-129). Returns (N, 3).
+    reference (src/material.cpp:127-129). A dict {"minor": (N,),
+    "major_uv": (N,2), "taps": int} instead requests anisotropic
+    filtering: `taps` trilinear probes at lod(minor) spread along the
+    uv-space major-axis vector, box-averaged — the TPU stand-in for
+    OIIO's EWA (all probes ride in ONE stacked gather; cost is taps/2 x
+    the trilinear texel bytes but still a single launch). Returns (N,3).
 
     All texels of both levels ride in ONE stacked gather — on the axon
     TPU platform every gather is a separate kernel launch and launches
@@ -219,6 +284,11 @@ def sample_texture(atlas: jnp.ndarray, info: jnp.ndarray, tex_id, uv,
     flat = atlas.reshape(-1, atlas.shape[-1])
     rows = info[jnp.maximum(tex_id, 0)]  # (N, L, 4)
     n_levels = info.shape[1]
+
+    if isinstance(footprint, dict) and n_levels > 1:
+        return _sample_aniso(flat, rows, aw, n_levels, uv, footprint)
+    if isinstance(footprint, dict):
+        footprint = footprint["minor"]
 
     if footprint is None or n_levels == 1:
         idx, wts = _bilinear_idx_weights(rows[:, 0], uv, aw)
@@ -235,20 +305,8 @@ def sample_texture(atlas: jnp.ndarray, info: jnp.ndarray, tex_id, uv,
     l1 = jnp.minimum(l0 + 1, n_levels - 1)
     tl = (lod - l0.astype(jnp.float32))[..., None]
 
-    # per-level row selection via static broadcast-selects over the
-    # (already gathered) (N, L, 4) rows — a fancy-index rows[nrows, l0]
-    # is a per-LANE gather: 1.48x total textured-render cost vs 1.25x
-    # with selects (tools/tpu_r3i_tex.py: 396.9 -> 335.6 ms trilinear,
-    # 267.9 ms unfiltered; the residual cost is the honest 8- vs 4-texel
-    # gather and lod math)
-    def pick(lsel):
-        out = rows[:, 0]
-        for lv in range(1, n_levels):
-            out = jnp.where((lsel == lv)[:, None], rows[:, lv], out)
-        return out
-
-    idx0, w0 = _bilinear_idx_weights(pick(l0), uv, aw)
-    idx1, w1 = _bilinear_idx_weights(pick(l1), uv, aw)
+    idx0, w0 = _bilinear_idx_weights(_pick_level(rows, l0, n_levels), uv, aw)
+    idx1, w1 = _bilinear_idx_weights(_pick_level(rows, l1, n_levels), uv, aw)
     idx = jnp.concatenate([idx0, idx1], axis=-1)  # (..., 8)
     texels = flat[idx]  # ONE stacked gather for both levels
     c0 = (texels[..., :4, :] * w0[..., None]).sum(axis=-2)

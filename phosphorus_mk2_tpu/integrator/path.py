@@ -174,17 +174,67 @@ def make_scene_tables(scene) -> dict:
     return tables
 
 
-def _footprint(aux, t_hit, sp, d, spread):
-    """uv-space sample diameter at this hit: ray-cone width (angular
+MAX_ANISO = 8.0  # major/minor clamp, like OIIO's default aniso limit
+
+
+def _footprint(aux, t_hit, sp, d, spread, aniso_taps=0):
+    """uv-space sample footprint at this hit. Primal-only (mip
+    selection must not carry tangents).
+
+    aniso_taps=0 (default): scalar diameter — ray-cone width (angular
     spread x camera->vertex distance) x the triangle's uv-per-world
     scale, stretched by 1/sqrt(|cos|) at grazing incidence (the
     geometric mean of the anisotropic footprint's two axes — the
-    isotropic stand-in for OIIO's anisotropic filter). Primal-only
-    (mip selection must not carry tangents)."""
+    isotropic stand-in for OIIO's anisotropic filter).
+
+    aniso_taps>0: the cone's elliptical intersection with the surface,
+    as {"minor", "major_uv", "taps"} for core/texture._sample_aniso
+    (the reference inherits true anisotropic/EWA filtering via OSL
+    texture() over OIIO, src/material.cpp:127-129): minor = cone width
+    x uv_scale (LOD axis); major = the in-plane projected view
+    direction, length cone/max(cos, 1/MAX_ANISO), mapped world->uv
+    through the triangle's edge Jacobian (normal-equations solve over
+    the edges shading_parameters already loaded — zero extra gathers).
+    """
     dist = aux["plen"] + jax.lax.stop_gradient(t_hit)
     cos_i = jnp.abs((sp["ng"] * d).sum(axis=-1))
-    graze = 1.0 / jnp.sqrt(jnp.maximum(cos_i, 1e-2))
-    return (dist * spread * graze) * jax.lax.stop_gradient(sp["uv_scale"])
+    w_c = dist * spread  # world-space cone diameter at the hit
+    uv_scale = jax.lax.stop_gradient(sp["uv_scale"])
+    if not aniso_taps:
+        graze = 1.0 / jnp.sqrt(jnp.maximum(cos_i, 1e-2))
+        return (w_c * graze) * uv_scale
+
+    sg = jax.lax.stop_gradient
+    ng = sg(sp["ng"])
+    e0w, e1w, e0t, e1t = (sg(e) for e in sp["edges"])
+    # in-plane major-axis direction: the projected view direction
+    t_w = d - ng * (ng * d).sum(axis=-1, keepdims=True)
+    t_len = jnp.sqrt(jnp.maximum((t_w * t_w).sum(-1), 1e-20))
+    # near-normal incidence the projection vanishes and the ellipse is a
+    # circle — any in-plane direction works; fall back to edge 0
+    degenerate = t_len < 1e-6
+    t_hat = jnp.where(
+        degenerate[:, None],
+        e0w / jnp.sqrt(jnp.maximum((e0w * e0w).sum(-1, keepdims=True), 1e-20)),
+        t_w / t_len[:, None],
+    )
+    # world->uv linear map via least squares over the triangle edges:
+    # solve [e0w e1w] (a, b) ~= t_hat, then uv_vec = a*e0t + b*e1t
+    g00 = (e0w * e0w).sum(-1)
+    g01 = (e0w * e1w).sum(-1)
+    g11 = (e1w * e1w).sum(-1)
+    det = jnp.maximum(g00 * g11 - g01 * g01, 1e-20)
+    r0 = (e0w * t_hat).sum(-1)
+    r1 = (e1w * t_hat).sum(-1)
+    a = (g11 * r0 - g01 * r1) / det
+    b = (g00 * r1 - g01 * r0) / det
+    uv_dir = a[:, None] * e0t + b[:, None] * e1t  # uv image of t_hat
+    major_world = w_c / jnp.maximum(cos_i, 1.0 / MAX_ANISO)
+    return {
+        "minor": w_c * uv_scale,
+        "major_uv": uv_dir * major_world[:, None],
+        "taps": int(aniso_taps),
+    }
 
 
 def trace_sample(
@@ -204,6 +254,7 @@ def trace_sample(
     remat: bool = False,
     sorted_dispatch: bool = True,
     pipeline_shadow: bool = False,
+    aniso_taps: int = 0,
 ):
     """Trace one sample per pixel for a wavefront. Returns (radiance (N,3),
     first-hit normal (N,3), first-hit alpha (N,)).
@@ -329,7 +380,7 @@ def trace_sample(
             mat = jnp.where(hit, mat_raw, 0)
             wo_view = -d
             n_interp = sp["n"]
-            fp = (_footprint(aux, t_hit, sp, d, cone_spread)
+            fp = (_footprint(aux, t_hit, sp, d, cone_spread, aniso_taps)
                   if filtered_tex else None)
             sp = apply_normal_map(scene, sp, mat, tid=texids.get("normal_tex"),
                                   footprint=fp)
@@ -352,7 +403,7 @@ def trace_sample(
             mat = jnp.where(hit, scene.tri_mat[safe_tri], 0)
             n_interp = sp["n"]  # pre-normal-map interpolated normal: the
             # cosine convention sample_lights uses on the NEE side
-            fp = (_footprint(aux, t_hit, sp, d, cone_spread)
+            fp = (_footprint(aux, t_hit, sp, d, cone_spread, aniso_taps)
                   if filtered_tex else None)
             sp = apply_normal_map(scene, sp, mat, footprint=fp)
             hp, hn = sp["p"], sp["n"]
@@ -577,6 +628,7 @@ def render_pass_pixels(
     remat: bool = False,
     sorted_dispatch: bool = True,
     pipeline_shadow: bool = False,
+    aniso_taps: int = 0,
 ):
     """Accumulate ``n_samples`` samples for an arbitrary pixel wavefront.
 
@@ -626,6 +678,7 @@ def render_pass_pixels(
             remat=remat,
             sorted_dispatch=sorted_dispatch,
             pipeline_shadow=pipeline_shadow,
+            aniso_taps=aniso_taps,
         )
         if sb > 1:
             r = r.reshape(sb, n, 3).sum(axis=0)
@@ -663,6 +716,7 @@ def render_pass(
     remat: bool = False,
     sorted_dispatch: bool = True,
     pipeline_shadow: bool = False,
+    aniso_taps: int = 0,
 ):
     """Accumulate ``n_samples`` samples for the full frame. Jittable."""
     n = width * height
@@ -687,6 +741,7 @@ def render_pass(
         remat=remat,
         sorted_dispatch=sorted_dispatch,
         pipeline_shadow=pipeline_shadow,
+        aniso_taps=aniso_taps,
     )
 
 
@@ -735,6 +790,7 @@ def render_aovs(
             mis=getattr(options, "mis", False),
             depth_unroll=depth_unroll,
             sample_unroll=sample_unroll,
+            aniso_taps=getattr(options, "aniso_taps", 0),
         ),
         static_argnames=("n_samples",),
     )

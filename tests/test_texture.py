@@ -228,3 +228,160 @@ def test_textured_render_minification_filtered():
     assert np.isfinite(img_f).all() and np.isfinite(img_u).all()
     # the filtered image must be substantially smoother
     assert grad_energy(img_f) < 0.6 * grad_energy(img_u)
+
+
+def test_aniso_single_tap_equals_trilinear():
+    """taps=1 with a zero-length major axis is exactly the trilinear
+    sample (same minor-axis lod, tap offset 0)."""
+    from phosphorus_mk2_tpu.core.texture import pack_textures, sample_texture
+
+    t = checkerboard(n=8, size=32)
+    packed = pack_textures([t])
+    atlas = jnp.asarray(packed["atlas"])
+    info = jnp.asarray(packed["info"])
+    n = 64
+    uv = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (n, 2)), jnp.float32)
+    tid = jnp.zeros((n,), jnp.int32)
+    minor = jnp.full((n,), 0.07)
+    tri = sample_texture(atlas, info, tid, uv, footprint=minor)
+    ani = sample_texture(
+        atlas, info, tid, uv,
+        footprint={"minor": minor, "major_uv": jnp.zeros((n, 2)), "taps": 1},
+    )
+    np.testing.assert_allclose(np.asarray(ani), np.asarray(tri), atol=1e-6)
+
+
+def test_aniso_preserves_cross_axis_detail():
+    """Horizontal stripes (varying along v only), minified along u: the
+    anisotropic filter (major axis along u) keeps the stripes sharp
+    where an isotropic footprint of the same extent blurs them to the
+    mean — the OIIO/EWA property the reference inherits
+    (src/material.cpp:127-129)."""
+    from phosphorus_mk2_tpu.core.texture import pack_textures, sample_texture
+
+    size = 64
+    img = np.zeros((size, size, 3), np.float32)
+    y = np.arange(size)
+    img[(y // 8) % 2 == 0, :] = 1.0  # 16-texel-period stripes along v,
+    # constant along u — coarse enough to survive the tap-spacing lod
+    # clamp (minor_eff = major/taps)
+    packed = pack_textures([Texture(img)])
+    atlas = jnp.asarray(packed["atlas"])
+    info = jnp.asarray(packed["info"])
+
+    n = 128
+    rng_ = np.random.default_rng(1)
+    uv = jnp.asarray(rng_.uniform(0.1, 0.9, (n, 2)), jnp.float32)
+    tid = jnp.zeros((n,), jnp.int32)
+    tiny = jnp.full((n,), 1e-6)
+    exact = sample_texture(atlas, info, tid, uv, footprint=tiny)
+
+    major = jnp.tile(jnp.asarray([[0.5, 0.0]], jnp.float32), (n, 1))
+    ani = sample_texture(
+        atlas, info, tid, uv,
+        footprint={"minor": tiny, "major_uv": major, "taps": 32},
+    )
+    iso = sample_texture(atlas, info, tid, uv, footprint=jnp.full((n,), 0.5))
+
+    # stripes are constant along u, so the u-line average IS the exact
+    # value (32 taps -> minor_eff = 1 texel, level 0 stays selected);
+    # the isotropic 0.5-diameter footprint collapses to the mean
+    err_ani = float(np.abs(np.asarray(ani) - np.asarray(exact)).mean())
+    err_iso = float(np.abs(np.asarray(iso) - np.asarray(exact)).mean())
+    assert err_ani < 0.02, err_ani
+    assert err_iso > 10 * max(err_ani, 1e-6), (err_ani, err_iso)
+
+
+def test_aniso_render_beats_isotropic_at_grazing():
+    """End-to-end: a grazing view over a striped ground plane — the
+    aniso_taps render is closer to the converged reference than the
+    isotropic-trilinear render (round-3 verdict item 6)."""
+    from phosphorus_mk2_tpu.core.options import Options
+    from phosphorus_mk2_tpu.integrator.path import render_aovs
+
+    res = 48
+    scene = Scene()
+    size = 128
+    img = np.zeros((size, size, 3), np.float32)
+    x = np.arange(size)
+    img[:, (x // 8) % 2 == 0] = 1.0  # 16-texel-period stripes along u:
+    # coarse enough for the minor axis (few texels) to resolve, fine
+    # enough for the graze-stretched isotropic footprint to destroy
+    stripe = scene.add_texture(Texture(img))
+    # texture the EMISSION: the camera ray's first-vertex radiance IS
+    # the filtered texture value — no MC lighting noise to swamp the
+    # filter comparison
+    mat = Material.emitter((1.0, 1.0, 1.0), power=float(np.pi), name="ground")
+    mat.emission_texture = stripe  # power pi cancels the 1/pi emitter
+    # convention so radiance == the filtered texture value exactly
+    mid = scene.add_material(mat)
+    ext = 40.0
+    ext_uv = 20.0
+    verts = np.array(
+        [[-ext, 0, -ext], [ext, 0, -ext], [ext, 0, ext], [-ext, 0, ext]],
+        np.float32,
+    )
+    uvs = np.array(
+        [[0, 0], [ext_uv, 0], [ext_uv, ext_uv], [0, ext_uv]], np.float32
+    )
+    scene.add_mesh(Mesh(
+        vertices=verts, faces=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        uvs=uvs, material=mid, smooth=False,
+    ))
+    # grazing view down the stripe direction
+    scene.camera = Camera.look_at(
+        (0.0, 0.4, 6.0), (0.0, 0.0, -10.0), width=res, height=res
+    )
+    data = scene.build()
+    assert data.tex_info.shape[1] > 1
+
+    def render_with(taps, spp=4):
+        opts = Options(use_bvh=False, samples_per_pass=spp, aniso_taps=taps,
+                       seed=3)
+        return np.asarray(render_aovs(
+            data, scene.camera, spp=spp, max_depth=1, options=opts)["color"])
+
+    img_iso = render_with(0)
+    img_ani = render_with(4)
+
+    # ANALYTIC reference: 8x8 subpixel rays through the real camera,
+    # closed-form plane intersection, exact level-0 bilinear texture —
+    # the converged per-pixel average with zero MC noise and no
+    # minification aliasing
+    from phosphorus_mk2_tpu.core.camera import camera_to_params, generate_rays
+
+    K = 8
+    cam = camera_to_params(scene.camera)
+    ys, xs = np.mgrid[0:res, 0:res]
+    px = jnp.asarray(np.repeat(xs.ravel(), K * K).astype(np.int32))
+    py = jnp.asarray(np.repeat(ys.ravel(), K * K).astype(np.int32))
+    sub = (np.mgrid[0:K, 0:K].reshape(2, -1).T + 0.5) / K
+    uvj = jnp.asarray(np.tile(sub, (res * res, 1)).astype(np.float32))
+    p, d = generate_rays(cam, px, py, uvj, jnp.full_like(uvj, 0.5))
+    p, d = np.asarray(p), np.asarray(d)
+    t = -p[:, 1] / d[:, 1]
+    hitp = p + d * t[:, None]
+    valid = (t > 0) & (np.abs(hitp[:, 0]) <= ext) & (np.abs(hitp[:, 2]) <= ext)
+    uu = (hitp[:, 0] + ext) / (2 * ext) * ext_uv
+    vv = (hitp[:, 2] + ext) / (2 * ext) * ext_uv
+    fu = (uu % 1.0) * size - 0.5
+    fv = (1.0 - (vv % 1.0)) * size - 0.5  # texture.py v-flip convention
+    i0 = np.floor(fu).astype(int)
+    j0 = np.floor(fv).astype(int)
+    tx, ty = fu - i0, fv - j0
+
+    def at(i, j):
+        return img[(j % size), (i % size), 0]
+
+    val = (at(i0, j0) * (1 - tx) * (1 - ty) + at(i0 + 1, j0) * tx * (1 - ty)
+           + at(i0, j0 + 1) * (1 - tx) * ty + at(i0 + 1, j0 + 1) * tx * ty)
+    val = np.where(valid, val, 0.0)
+    ref = val.reshape(res * res, K * K).mean(1).reshape(res, res)
+
+    # ground rows only (sky rows are trivially identical)
+    lo = res // 2
+    err_iso = float(np.abs(img_iso[lo:, :, 0] - ref[lo:]).mean())
+    err_ani = float(np.abs(img_ani[lo:, :, 0] - ref[lo:]).mean())
+    assert np.isfinite(img_ani).all()
+    # measured: iso 0.062, ani4 0.037 over rows 24+ (diag run)
+    assert err_ani < 0.75 * err_iso, (err_ani, err_iso)
