@@ -74,6 +74,7 @@ POD_FLOAT16 = 9
 POD_FLOAT32 = 10
 POD_FLOAT64 = 11
 POD_STRING = 12
+POD_WSTRING = 13  # wide string: 32-bit code units (Alembic Util::wstring)
 
 _POD_NP = {
     POD_BOOL: np.bool_,
@@ -253,6 +254,36 @@ class AbcObject:
         return self._r.read_compound(kids[0])
 
 
+def _decode_strings(payload: bytes, h: "PropHeader"):
+    """Decode string/wstring sample payloads (Alembic stores strings
+    NUL-separated; wstring uses 32-bit code units). A SCALAR string is
+    one value (extent strings NUL-joined); an ARRAY of strings returns
+    the list. Matches the SDK's StringArraySample layout
+    (reference alembic.hpp reads faceset names through it)."""
+    if h.pod == POD_WSTRING:
+        units = np.frombuffer(
+            payload[: len(payload) - len(payload) % 4], np.uint32
+        )
+        parts: list[str] = []
+        cur: list[str] = []
+        for u in units:
+            if u == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(chr(int(u)) if u <= 0x10FFFF else "�")
+        if cur:
+            parts.append("".join(cur))
+    else:
+        parts = [
+            p.decode(errors="replace")
+            for p in payload.rstrip(b"\x00").split(b"\x00")
+        ]
+    if h.ptype == ARRAY and (len(parts) != 1):
+        return parts
+    return parts[0] if parts else ""
+
+
 class AbcReader:
     def __init__(self, path: str):
         self.og = OgawaReader.open(path)
@@ -310,8 +341,12 @@ class AbcReader:
             )
         else:
             raise ValueError(f"{h.name} is a compound")
-        if h.pod == POD_STRING:
-            return payload.rstrip(b"\x00").decode(errors="replace")
+        if h.pod in (POD_STRING, POD_WSTRING):
+            return _decode_strings(payload, h)
+        if h.pod not in _POD_NP:
+            raise ValueError(
+                f"property {h.name!r}: unknown POD type {h.pod}"
+            )
         dt = np.dtype(_POD_NP[h.pod])
         arr = np.frombuffer(payload, dt)
         if h.extent > 1:

@@ -227,3 +227,174 @@ def test_malformed_archives_fail_loudly(tmp_path):
     og.save(p3, small_root)
     with pytest.raises(ValueError, match="not an Alembic archive"):
         AbcReader(p3)
+
+
+POD_STRING = 12
+POD_WSTRING = 13
+
+
+def test_string_and_wstring_properties(tmp_path):
+    """String-POD properties the repo's writer never emits: a scalar
+    string, an ARRAY of NUL-separated strings (the SDK's
+    StringArraySample layout — faceset name lists travel this way), and
+    a wide string (POD 13, 32-bit code units)."""
+    og = OgawaWriter()
+    s_scalar = og.write_group([og.write_data(bytes(16) + b"hello\x00")])
+    names = b"paint\x00glass\x00chrome\x00"
+    s_array = og.write_group([og.write_data(bytes(16) + names), EMPTY_DATA])
+    wide = "métal".encode("utf-32-le") + b"\x00\x00\x00\x00"
+    s_wide = og.write_group([og.write_data(bytes(16) + wide)])
+
+    headers = _prop_info(SCALAR, POD_STRING, 1, 1)
+    headers += _name_meta_inline("note", "")
+    headers += _prop_info(ARRAY, POD_STRING, 1, 1)
+    headers += _name_meta_inline("matNames", "")
+    headers += _prop_info(SCALAR, POD_WSTRING, 1, 1)
+    headers += _name_meta_inline("wnote", "")
+    props = og.write_group([s_scalar, s_array, s_wide, og.write_data(headers)])
+    top = _object(og, props, [], b"")
+    path = str(tmp_path / "strings.abc")
+    og.save(path, _root(og, top))
+
+    r = AbcReader(path)
+    pr = r.top.properties()
+    assert r.sample(pr["note"]) == "hello"
+    assert r.sample(pr["matNames"]) == ["paint", "glass", "chrome"]
+    assert r.sample(pr["wnote"]) == "métal"
+
+
+def test_unknown_pod_fails_loudly(tmp_path):
+    og = OgawaWriter()
+    grp = og.write_group([og.write_data(bytes(16) + b"\x01\x02")])
+    headers = _prop_info(SCALAR, 14, 1, 1)  # POD 14: not a real type
+    headers += _name_meta_inline("mystery", "")
+    props = og.write_group([grp, og.write_data(headers)])
+    top = _object(og, props, [], b"")
+    path = str(tmp_path / "unknownpod.abc")
+    og.save(path, _root(og, top))
+
+    r = AbcReader(path)
+    pr = r.top.properties()
+    with pytest.raises(ValueError, match="POD"):
+        r.sample(pr["mystery"])
+
+
+def test_animated_changing_topology_reads_sample0(tmp_path):
+    """Animated P/faceCounts where the topology CHANGES between samples
+    (different array sizes + per-sample dims words). The importer
+    consumes sample 0 only (like the reference's default sample
+    selectors, alembic.hpp:156-257); both samples must still decode
+    exactly and sample 0 must be unpolluted by sample 1's layout."""
+    og = OgawaWriter()
+    p0 = np.arange(9, dtype=np.float32).reshape(3, 3)       # 3 verts
+    p1 = np.arange(15, dtype=np.float32).reshape(5, 3) * 2  # 5 verts
+    prop_group = og.write_group([
+        og.write_data(_sample(p0)),
+        og.write_data(np.array([3], np.uint64).tobytes()),
+        og.write_data(_sample(p1)),
+        og.write_data(np.array([5], np.uint64).tobytes()),
+    ])
+    headers = _prop_info(
+        ARRAY, POD_FLOAT32, 3, 2, no_repeats=False,
+        extra=struct.pack("<II", 1, 1),
+    )
+    headers += _name_meta_inline("P", "")
+    c0 = np.array([3], np.int32)
+    c1 = np.array([3, 3], np.int32)
+    counts_group = og.write_group([
+        og.write_data(_sample(c0)), EMPTY_DATA,
+        og.write_data(_sample(c1)), EMPTY_DATA,
+    ])
+    headers += _prop_info(
+        ARRAY, POD_INT32, 1, 2, no_repeats=False,
+        extra=struct.pack("<II", 1, 1),
+    )
+    headers += _name_meta_inline(".faceCounts", "")
+    props = og.write_group([prop_group, counts_group, og.write_data(headers)])
+    top = _object(og, props, [], b"")
+    path = str(tmp_path / "anim.abc")
+    og.save(path, _root(og, top))
+
+    r = AbcReader(path)
+    pr = r.top.properties()
+    np.testing.assert_array_equal(r.sample(pr["P"], 0), p0)
+    np.testing.assert_array_equal(r.sample(pr["P"], 1), p1)
+    np.testing.assert_array_equal(r.sample(pr[".faceCounts"], 0), c0)
+    np.testing.assert_array_equal(r.sample(pr[".faceCounts"], 1), c1)
+
+
+def test_acyclic_time_sampling_blob_tolerated(tmp_path):
+    """Root child 4 carries a serialized ACYCLIC time sampling (max-
+    samples word + per-sample float64 times, the AbcCoreOgawa wire
+    form). The reader reads sample 0 by index and must not choke on the
+    blob (it ignores time metadata by design — static import)."""
+    og = OgawaWriter()
+    arr = np.arange(6, dtype=np.float32)
+    prop_group = og.write_group([og.write_data(_sample(arr)), EMPTY_DATA])
+    headers = _prop_info(
+        ARRAY, POD_FLOAT32, 1, 1, has_tsidx=True,
+        extra=struct.pack("<I", 1),
+    )
+    headers += _name_meta_inline("P", "")
+    props = og.write_group([prop_group, og.write_data(headers)])
+    top = _object(og, props, [], b"")
+
+    # root with a nonzero time-samplings blob in slot 4
+    ts_blob = struct.pack("<I", 3) + np.array(
+        [0.0, 0.04, 0.21], np.float64
+    ).tobytes()
+    idx_payload = b""
+    root = og.write_group([
+        og.write_data(struct.pack("<I", 0)),
+        og.write_data(struct.pack("<I", 10709)),
+        top,
+        og.write_data(b"_ai_Application=acyclic"),
+        og.write_data(ts_blob),
+        og.write_data(idx_payload),
+    ])
+    path = str(tmp_path / "acyclic.abc")
+    og.save(path, root)
+
+    r = AbcReader(path)
+    pr = r.top.properties()
+    np.testing.assert_array_equal(r.sample(pr["P"]), arr)
+
+
+def test_corrupted_archive_fuzz(tmp_path):
+    """Random single-byte corruptions of a valid archive: every mutant
+    must either parse (returning SOME data) or raise a loud Python
+    exception — never hang, never crash the interpreter. Exercises the
+    reader's bounds discipline on indices, counts and offsets."""
+    og = OgawaWriter()
+    arr = np.arange(24, dtype=np.float32).reshape(8, 3)
+    prop_group = og.write_group([og.write_data(_sample(arr)), EMPTY_DATA])
+    headers = _prop_info(ARRAY, POD_FLOAT32, 3, 1)
+    headers += _name_meta_inline("P", "")
+    props = og.write_group([prop_group, og.write_data(headers)])
+    child = _object(og, props, [], b"")
+    top = _object(og, 0, [child], _name_meta_inline("mesh", ""))
+    path = str(tmp_path / "clean.abc")
+    og.save(path, _root(og, top))
+    clean = open(path, "rb").read()
+
+    rng_ = np.random.default_rng(7)
+    outcomes = {"ok": 0, "raised": 0}
+    for trial in range(120):
+        buf = bytearray(clean)
+        off = int(rng_.integers(0, len(buf)))
+        buf[off] ^= int(rng_.integers(1, 256))
+        mp = str(tmp_path / "mut.abc")
+        with open(mp, "wb") as f:
+            f.write(bytes(buf))
+        try:
+            r = AbcReader(mp)
+            for k in r.top.children():
+                for name, prop in k.properties().items():
+                    if prop[0].ptype != 0:
+                        r.sample(prop)
+            outcomes["ok"] += 1
+        except Exception:  # noqa: BLE001 - loud failure is the contract
+            outcomes["raised"] += 1
+    # both outcomes must occur: corruption is detected loudly at least
+    # sometimes, and benign flips (hash bytes etc.) still parse
+    assert outcomes["ok"] > 0 and outcomes["raised"] > 0, outcomes
