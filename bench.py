@@ -94,9 +94,15 @@ def main() -> int:
         functools.partial(render_pass, **kw), static_argnames=("n_samples",)
     )
 
+    # grad path: FULL sample unroll — no sample scan at all, so the
+    # backward fuses across samples (measured r4: 27.7 -> 32.1 Mrays/s;
+    # partial unroll 8 was WORSE, 26.3 — tools/tpu_r4e_front.py).
+    # Forward keeps unroll 4 (full unroll is neutral there, r2).
+    kw_grad = dict(kw, sample_unroll=SPP)
+
     def loss(params, data, key, n):
         d2 = dataclasses.replace(data, **params)
-        return render_pass(d2, cam, key, 0, n, **kw)["color"].sum()
+        return render_pass(d2, cam, key, 0, n, **kw_grad)["color"].sum()
 
     grad = jax.jit(jax.grad(loss), static_argnames=("n",))
     params = {

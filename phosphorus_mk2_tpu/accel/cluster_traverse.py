@@ -164,11 +164,12 @@ def _mt_rows(p, d, rows, best, live, cand_cids=None, cand_base=None):
     )
 
 
-MAX_FRONT = 48  # per-ray front-to-back cluster table depth (top-k);
+MAX_FRONT = 32  # per-ray front-to-back cluster table depth (top-k);
                 # rays overlapping more clusters finish in the exact
-                # fallback pass. 48 vs 64 measured ~equal trace time at
-                # BMW scale with p99 overlap 30 (tools/tpu_r3h_axis.py);
-                # front_k overrides per trace
+                # fallback pass. 48 vs 64 measured ~equal at BMW scale
+                # (tools/tpu_r3h_axis.py); 32 + recompact measured BEST
+                # in round 4 (tools/tpu_r4c_waveloop.py: 167.7 vs 185.8
+                # ms at the old defaults); front_k overrides per trace
 from phosphorus_mk2_tpu.accel.bvh_builder import (  # noqa: E402
     DENSE_CLUSTERS as DENSE_K,  # above this many clusters the (N, K)
     # slab table would blow HBM; the front table is built hierarchically
@@ -333,7 +334,8 @@ def _reconstruct_ids(ptbl, col, SC):
 
 
 def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
-                              slab_bf16=False, levels=2, sc_topk="topk"):
+                              slab_bf16=False, levels=2, sc_topk="topk",
+                              sc_front=0):
     """Supercluster-culled front table for big scenes: slab the coarsest
     level -> per-ray top-J -> expand each ray's selections (member-
     bounds row-gather, 16-wide slab) -> next level, ending in a top-kk
@@ -352,6 +354,7 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
     """
     from phosphorus_mk2_tpu.accel.bvh_builder import SUPER_CLUSTERS as SC
 
+    sc_front = sc_front or SC_FRONT
     if levels >= 3 and "ssc_bmin" in bvh:
         s3_hit, s3_tn = _slab_all(
             pp, dd,
@@ -359,7 +362,7 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
             _table(bvh, "ssc_bmax", slab_bf16),
         )
         K3 = s3_tn.shape[1]
-        j3 = min(SC_FRONT, K3)
+        j3 = min(sc_front, K3)
         s3_m = jnp.where(s3_hit & (s3_tn < t_limit[:, None]), s3_tn, T_MAX)
         s3_ttbl, s3_tbl = _select_topk(s3_m, j3, mode="extract")
         horizon = s3_ttbl[:, -1]
@@ -368,15 +371,15 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
             pp, dd,
             _table(bvh, "ssc_member_bmin", slab_bf16),
             _table(bvh, "ssc_member_bmax", slab_bf16),
-            s3_tbl, s3_ttbl, t_limit, expand_batch=SC_FRONT,
+            s3_tbl, s3_ttbl, t_limit, expand_batch=sc_front,
         )
-        jj = min(SC_FRONT, sc_cand.shape[1])
+        jj = min(sc_front, sc_cand.shape[1])
         sc_ttbl, sc_col = _select_topk(sc_cand, jj, mode=sc_topk)
         sctbl = _reconstruct_ids(s3_pad, sc_col, SC)
         horizon = jnp.minimum(horizon, sc_ttbl[:, -1])
     else:
         K2 = bvh["sc_bmin"].shape[0]
-        jj = min(SC_FRONT, K2)
+        jj = min(sc_front, K2)
         if sc_topk == "pallas":
             # fused slab+extract kernel: one launch, bounds in VMEM, no
             # (N, K2) HBM round-trips (accel/pallas_front.py)
@@ -419,9 +422,9 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
 
 
 def _trace(scene, p, d, t_limit, any_hit,
-           dense_waves=0, chunk=4096, dense_chunk=16384, expand_batch=1,
+           dense_waves=0, chunk=2048, dense_chunk=16384, expand_batch=1,
            slab_bf16=False, front_levels=0, sc_topk="extract", front_k=0,
-           rows_bf16=False, fb_cc=64, recompact=0, dense_k=0):
+           rows_bf16=False, fb_cc=64, recompact=8, dense_k=0, sc_front=0):
     """Core trace. Tunables (defaults = measured config):
 
     dense_waves: process the first W0 front-table columns for ALL rays
@@ -430,9 +433,12 @@ def _trace(scene, p, d, t_limit, any_hit,
       mostly live so the masked over-gather is small, while the
       per-wave while-loop shrinks to the straggler tail only).
     chunk / dense_chunk: ray-chunk sizes for the straggler loop / the
-      dense phase. Default 4096 measured best at BMW scale (173.5 vs
-      194 ms at 8192, tools/tpu_r3g_chunks.py): smaller chunks waste
-      less masked prefix work; 1024-4096 is a plateau.
+      dense phase. Default 2048 (with recompact 8) measured best at BMW
+      scale in round 4 (167.7 ms full trace, tools/tpu_r4c_waveloop.py;
+      the r4 synthetic probe showed the gather loop is BYTE-bound at
+      ~93 GB/s down to ~0.1 ms/iteration, so small chunks cost nothing
+      and waste less masked prefix work; >=16k chunks degrade gather
+      bandwidth to ~72 GB/s).
     expand_batch: superclusters expanded per front-table step; >= jj
       collapses the jj-step scan into ONE member-bounds row-gather.
     slab_bf16: slab tests read the outward-rounded bf16 bounds tables
@@ -453,7 +459,8 @@ def _trace(scene, p, d, t_limit, any_hit,
       drop the columns the early-out already terminated (tn >= best_t),
       left-pack the survivors per ray (packed-key row sort), and
       re-sort rays by REMAINING work, so the per-wave prefix tracks
-      dynamic liveness instead of the static overlap histogram. 0 = off.
+      dynamic liveness instead of the static overlap histogram. 0 = off;
+      default 8 (measured: 184.8 -> 167.4 ms BMW trace, tpu_r4a/r4c).
       Winners identical up to exact-t ties: the repack re-orders MT
       evaluations by (truncated tn, cluster id), so two triangles in
       different clusters at EXACTLY the same t can resolve to the other
@@ -462,6 +469,10 @@ def _trace(scene, p, d, t_limit, any_hit,
       rounds (each a row sort + fat concat-gather + while_loop); on the
       remote-compile platform keep recompact >= ~kk/8 — recompact=1 at
       kk=48 emits ~47 copies and a pathological compile.
+    sc_front: override SC_FRONT (supercluster front width jj) — the
+      expand stage costs O(N * jj * SC) gather bytes and the extract
+      stage O(jj) min-rounds over (N, K2); 8 halves both vs the
+      default 16, with the exact fallback covering overflow.
     dense_k: override the DENSE_K hierarchy threshold (cluster count
       above which the supercluster front table engages). Lets small
       test scenes exercise the hierarchical BMW-scale path declaratively
@@ -489,6 +500,7 @@ def _trace(scene, p, d, t_limit, any_hit,
         ttbl, ctbl, sc_horizon = _front_table_hierarchical(
             pp, dd, bvh, t_limit, kk, expand_batch=expand_batch,
             slab_bf16=slab_bf16, levels=front_levels, sc_topk=sc_topk,
+            sc_front=sc_front,
         )
     else:
         ttbl, ctbl, sc_horizon = _front_table_dense(
@@ -742,8 +754,8 @@ def intersect_clusters(scene, p, d, tmax=None, **tune):
     """Closest-hit via the gather-wave cluster tracer.
 
     tune: dense_waves / chunk / dense_chunk / expand_batch /
-    front_levels / sc_topk / front_k / rows_bf16 / recompact / dense_k
-    (see _trace).
+    front_levels / sc_topk / front_k / rows_bf16 / recompact / dense_k /
+    sc_front (see _trace).
     """
     n = p.shape[0]
     t0 = jnp.full((n,), T_MAX) if tmax is None else tmax

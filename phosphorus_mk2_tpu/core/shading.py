@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from phosphorus_mk2_tpu.math.vec import cross, normalize
+from phosphorus_mk2_tpu.math.vec import cross, normalize, safe_sqrt
 
 
 def triangle_attribute_table(scene) -> jnp.ndarray:
@@ -118,7 +118,10 @@ def shading_parameters(
     e0t = uv1 - uv0
     e1t = uv2 - uv0
     area_t = jnp.abs(e0t[..., 0] * e1t[..., 1] - e0t[..., 1] * e1t[..., 0])
-    uv_scale = jnp.sqrt(area_t / jnp.maximum(area_w, 1e-20))
+    # safe_sqrt: tris with zero UV area (unmapped/seam tris — 12 camera
+    # hits on the BMW asset) otherwise poison VERTEX grads with
+    # sqrt(0)-backward inf*0 (see math/vec.safe_sqrt)
+    uv_scale = safe_sqrt(area_t / jnp.maximum(area_w, 1e-20))
 
     out = {"p": p, "n": n, "ng": n_geom, "st": st, "uv_scale": uv_scale,
            # triangle edge pairs (world / uv) for the anisotropic

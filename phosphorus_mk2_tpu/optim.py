@@ -149,6 +149,10 @@ class InverseRenderer:
                 tracer=tracer,
                 sorted_dispatch=False,  # forward-only optimization; the
                 # dense lobe eval is the differentiable path
+                sample_unroll=n,  # FULL unroll: no sample scan, so the
+                # backward fuses across samples (measured 27.7 -> 32.1
+                # Mrays/s on the bench grad, tools/tpu_r4e_front.py;
+                # partial unroll was worse)
             )
             return out["color"] / n
 
