@@ -155,7 +155,7 @@ def ggx_sample_wh(ax, ay, li, u2):
         ggx_D(ax, ay, wh)
         * ggx_G1(ax, ay, li)
         * jnp.abs(dot(li, wh))
-        / jnp.maximum(jnp.abs(tsf.cos_theta(li)), 1e-20)
+        / jnp.maximum(jnp.abs(tsf.cos_theta(li)), 1e-12)
     )
     return wh, pdf
 

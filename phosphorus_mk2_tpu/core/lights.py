@@ -150,7 +150,13 @@ def sample_lights(
         bu[..., None] * a + bv[..., None] * b + (1.0 - bu - bv)[..., None] * c
     )
     n_area = sp["n"]
-    pdf_area = 1.0 / jnp.maximum(larea, 1e-20)
+    # guard 1e-12, NOT 1e-20: the vjp of 1/max(x, eps) is -1/eps^2 on
+    # clamped lanes and (1e-20)^2 underflows f32 to 0 -> -inf, which
+    # turns the (zero) cotangent into NaN and poisons VERTEX grads
+    # through the light-area sums on every scene with an environment
+    # light (BMW config-5; measured 888 NaN vertex rows). 1e-12^2
+    # stays representable, so the clamped-lane jacobian is finite.
+    pdf_area = 1.0 / jnp.maximum(larea, 1e-12)
 
     # infinite light (zero-contribution in NEE, see module docstring)
     hemi, pdf_inf = uniform_hemisphere(

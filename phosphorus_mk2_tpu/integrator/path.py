@@ -223,7 +223,7 @@ def _footprint(aux, t_hit, sp, d, spread, aniso_taps=0):
     g00 = (e0w * e0w).sum(-1)
     g01 = (e0w * e1w).sum(-1)
     g11 = (e1w * e1w).sum(-1)
-    det = jnp.maximum(g00 * g11 - g01 * g01, 1e-20)
+    det = jnp.maximum(g00 * g11 - g01 * g01, 1e-12)
     r0 = (e0w * t_hat).sum(-1)
     r1 = (e1w * t_hat).sum(-1)
     a = (g11 * r0 - g01 * r1) / det
@@ -432,7 +432,7 @@ def trace_sample(
             nee_pdf = (
                 nee_pdf_row if hit_f is not None else scene.tri_light_pdf[safe_tri]
             )
-            pdf_nee_sa = nee_pdf * dist * dist / jnp.maximum(cos_h, 1e-20)
+            pdf_nee_sa = nee_pdf * dist * dist / jnp.maximum(cos_h, 1e-12)
             w_b = jax.lax.stop_gradient(
                 pdf_prev / jnp.maximum(pdf_prev + pdf_nee_sa, 1e-20)
             )
@@ -497,7 +497,10 @@ def trace_sample(
             else:
                 light_e = emission_at(scene, ls["mat"], ls["st"], tables=mat_tables)
             cos_l = jnp.abs(dot(ls["n"], -wi))
-            pdf_l = ls["pdf"] * dist * dist / jnp.maximum(cos_l, 1e-20)
+            # division guards at 1e-12: (1e-20)^2 underflows in the
+            # vjp of 1/max(x, eps) -> inf*0 = NaN on masked lanes
+            # (see core/lights.pdf_area)
+            pdf_l = ls["pdf"] * dist * dist / jnp.maximum(cos_l, 1e-12)
             if mis:
                 # balance weight vs BSDF sampling of the same direction;
                 # the reference's (e*4) quirk is dropped in MIS mode so
@@ -509,10 +512,10 @@ def trace_sample(
                 li = (
                     light_e
                     * f
-                    * (w_nee / jnp.maximum(pdf_l, 1e-20))[..., None]
+                    * (w_nee / jnp.maximum(pdf_l, 1e-12))[..., None]
                 )
             else:
-                li = (light_e * 4.0) * f / jnp.maximum(pdf_l, 1e-20)[..., None]
+                li = (light_e * 4.0) * f / jnp.maximum(pdf_l, 1e-12)[..., None]
             if pipe:
                 # defer: visibility resolves inside the NEXT bounce's
                 # stacked trace (or the trailing resolve after the scan)

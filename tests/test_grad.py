@@ -118,3 +118,36 @@ def test_grad_multi_type_scene_dense_dispatch():
     assert np.isfinite(np.asarray(g_w)).all()
     assert np.abs(np.asarray(g_e)).max() > 0
     assert np.abs(np.asarray(g_w)).max() > 0
+
+
+def test_vertex_grads_finite_with_environment_light():
+    """Regression (round 4): scenes with an INFINITE (environment)
+    light poisoned VERTEX gradients with NaN — the env lane's
+    light_area is 0, and the vjp of 1/max(area, 1e-20) is -1/eps^2
+    whose (1e-20)^2 underflows f32 to 0 -> -inf, so the masked lane's
+    zero cotangent became 0*inf = NaN inside the light-area sum chain
+    (core/lights.pdf_area). Cornell never triggers it (no env light);
+    the BMW asset did on every wavefront."""
+    from phosphorus_mk2_tpu.core.material import Material
+    from phosphorus_mk2_tpu.scenes import sphere_in_box
+
+    scene = sphere_in_box(width=RES, height=RES)
+    scene.set_environment(
+        Material.background((0.4, 0.5, 0.6), power=0.5, name="sky")
+    )
+    data = scene.build()
+    cam = camera_to_params(scene.camera)
+    tracer = make_tracer(data, use_bvh=False)
+    key = jax.random.key(3)
+
+    def loss(verts):
+        d2 = dataclasses.replace(data, vertices=verts)
+        out = render_pass(
+            d2, cam, key, 0, 2, width=RES, height=RES, max_depth=2,
+            tracer=tracer, sorted_dispatch=False,
+        )
+        return out["color"].sum()
+
+    g = np.asarray(jax.jit(jax.grad(loss))(data.vertices))
+    assert np.isfinite(g).all(), f"{(~np.isfinite(g)).sum()} NaN rows"
+    assert np.abs(g).max() > 0
