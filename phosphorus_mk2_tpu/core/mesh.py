@@ -132,26 +132,60 @@ class Mesh:
         return (n / np.maximum(norm, 1e-20)).astype(np.float32)
 
     def compute_tangents(self) -> np.ndarray:
-        """Per-vertex tangents from uv gradients (the reference gets
-        these from MikkTSpace via Blender, plugins/blender/import.hpp:
-        115-134; uv-gradient tangents are the standalone equivalent)."""
+        """Per-vertex tangents, MikkTSpace-compatible semantics.
+
+        The reference gets tangents from Blender's MikkTSpace when a
+        material needs geom:tangent (plugins/blender/import.hpp:
+        115-134). This standalone generator follows the same recipe on
+        the published algorithm's core path (Mikkelsen 2008):
+          * per-face tangent from the uv-gradient (dP/du);
+          * degenerate faces (zero uv or world area) contribute nothing;
+          * accumulation weighted by the CORNER ANGLE at each wedge
+            (MikkTSpace's angle weighting — large sliver fans no longer
+            dominate the average);
+          * the averaged tangent is Gram-Schmidt-orthogonalized against
+            the vertex's shading normal and normalized, like
+            MikkTSpace's final orthonormalization per wedge.
+        Differences that remain (documented): MikkTSpace splits wedges
+        by uv/normal discontinuities inside one vertex index; our SoA
+        meshes are already corner-split by resolve_corners when those
+        discontinuities exist, so the per-vertex group matches.
+        """
         if self.uvs is None:
             raise ValueError("tangents need uvs")
         t = np.zeros_like(self.vertices)
-        v0 = self.vertices[self.faces[:, 0]]
-        v1 = self.vertices[self.faces[:, 1]]
-        v2 = self.vertices[self.faces[:, 2]]
-        uv0 = self.uvs[self.faces[:, 0]]
-        uv1 = self.uvs[self.faces[:, 1]]
-        uv2 = self.uvs[self.faces[:, 2]]
-        e1 = v1 - v0
-        e2 = v2 - v0
-        du1 = uv1 - uv0
-        du2 = uv2 - uv0
+        v = [self.vertices[self.faces[:, k]] for k in range(3)]
+        uv = [self.uvs[self.faces[:, k]] for k in range(3)]
+        e1 = v[1] - v[0]
+        e2 = v[2] - v[0]
+        du1 = uv[1] - uv[0]
+        du2 = uv[2] - uv[0]
         det = du1[:, 0] * du2[:, 1] - du2[:, 0] * du1[:, 1]
-        r = np.where(np.abs(det) < 1e-12, 0.0, 1.0 / np.where(det == 0, 1, det))
+        face_n = np.cross(e1, e2)
+        degenerate = (np.abs(det) < 1e-12) | (
+            np.linalg.norm(face_n, axis=-1) < 1e-20
+        )
+        r = np.where(degenerate, 0.0, 1.0 / np.where(det == 0, 1, det))
         tan = (e1 * du2[:, 1:2] - e2 * du1[:, 1:2]) * r[:, None]
+
+        def corner_angle(k):
+            a = v[(k + 1) % 3] - v[k]
+            b = v[(k + 2) % 3] - v[k]
+            an = a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-20)
+            bn = b / np.maximum(np.linalg.norm(b, axis=-1, keepdims=True), 1e-20)
+            return np.arccos(np.clip((an * bn).sum(-1), -1.0, 1.0))
+
         for k in range(3):
-            np.add.at(t, self.faces[:, k], tan)
+            w = np.where(degenerate, 0.0, corner_angle(k))
+            np.add.at(t, self.faces[:, k], tan * w[:, None])
+
+        # orthonormalize against the shading normal (MikkTSpace's final
+        # per-wedge step): t <- normalize(t - n (n . t))
+        n = self.normals if self.normals is not None else (
+            self.compute_vertex_normals()
+        )
+        n = np.asarray(n, np.float32)
+        nn = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        t = t - nn * (nn * t).sum(-1, keepdims=True)
         norm = np.linalg.norm(t, axis=-1, keepdims=True)
         return (t / np.maximum(norm, 1e-20)).astype(np.float32)
