@@ -380,6 +380,28 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
     else:
         K2 = bvh["sc_bmin"].shape[0]
         jj = min(sc_front, K2)
+        if sc_topk == "pallas_full":
+            # whole front table in ONE kernel: slab + extract + member
+            # expand (one-hot MXU matmul over the VMEM-resident member
+            # table) + final top-kk — zero (N, K2)-class HBM round
+            # trips (accel/pallas_front.front_all_pallas). Bit-parity
+            # caveat: parent keys truncate to bit_length(K2p-1) mantissa
+            # bits (K2 padded to 128) vs the XLA path's bit_length(K2-1)
+            # — identical unless padding crosses a power of two.
+            from phosphorus_mk2_tpu.accel.pallas_front import (
+                front_all_pallas,
+            )
+
+            bounds6 = jnp.concatenate(
+                [bvh["sc_bmin"], bvh["sc_bmax"]], axis=1
+            )
+            ttbl, col, pt, pid = front_all_pallas(
+                bounds6, bvh["sc_member_bmin"], bvh["sc_member_bmax"],
+                pp, dd, t_limit, jj=jj, kk=kk,
+                interpret=jax.default_backend() != "tpu",
+            )
+            ctbl = _reconstruct_ids(pid, col, SC)
+            return ttbl, ctbl, pt[:, -1]
         if sc_topk == "pallas":
             # fused slab+extract kernel: one launch, bounds in VMEM, no
             # (N, K2) HBM round-trips (accel/pallas_front.py)

@@ -127,3 +127,188 @@ def slab_extract_pallas(bounds6, p, d, t_limit, jj: int = 16,
         jax.lax.bitcast_convert_type(key_bits, jnp.float32),
     )
     return t, ids
+
+
+# ---------------------------------------------------------------------------
+# full-front fusion: slab + extract + member expand + final select, one kernel
+
+
+def _kernel_full(bounds_ref, memb_ref, p_ref, d_ref, tlim_ref,
+                 out_p_ref, out_c_ref, *, jj, kk, sc, nbits_p, nbits_c):
+    """Whole hierarchical front table for one ray block, VMEM-resident.
+
+    bounds_ref: (8, K2p) supercluster [bmin|bmax|pad] rows (NaN = pad).
+    memb_ref: (K2p, SCP) member bounds, axis-major layout
+      memb[k, a*sc + s] = bounds axis a of member s of parent k
+      (a 0..2 bmin, 3..5 bmax), SANITIZED: empty slots hold +BIGF point
+      boxes (a one-hot MXU matmul cannot tolerate NaN rows — 0*NaN=NaN
+      — and inverted boxes hit every ray), culled by the tn >= 1e37
+      test below so they decode to T_MAX exactly like the XLA path.
+    out_p_ref: (B, jj) int32 packed parent keys (tn | parent id).
+    out_c_ref: (B, kk) int32 packed candidate keys (tn | column id),
+      column = j*sc + s — the _select_topk(cand, kk, "sort") packing.
+    """
+    K2p = bounds_ref.shape[1]
+    B = p_ref.shape[0]
+
+    # --- stage 1: supercluster slab (identical to _kernel) -----------
+    tn = jnp.full((B, K2p), -_TMAXF, jnp.float32)
+    tf = jnp.full((B, K2p), _TMAXF, jnp.float32)
+    invs = []
+    for a in range(3):
+        bmin = bounds_ref[a : a + 1, :]
+        bmax = bounds_ref[a + 3 : a + 4, :]
+        pa = p_ref[:, a : a + 1]
+        da = d_ref[:, a : a + 1]
+        inv = 1.0 / jnp.where(da == 0.0, 1e-30, da)
+        invs.append(inv)
+        t0 = (bmin - pa) * inv
+        t1 = (bmax - pa) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    tnc = jnp.maximum(tn, 0.0)
+    pending = (tn <= tf) & (tf >= 0.0) & (tnc < tlim_ref[:, 0:1])
+    key = jnp.where(pending, tnc, jnp.float32(_TMAXF))
+
+    import numpy as _np
+
+    mask_p = jnp.int32(-(1 << nbits_p))
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, K2p), 1)
+    keyi = (jax.lax.bitcast_convert_type(key, jnp.int32) & mask_p) | col
+    dead = jnp.int32(0x7FFFFFFF)
+    # python-int constant (a jnp scalar would be a captured const)
+    tmax_key_p = jnp.int32(
+        int(_np.float32(_TMAXF).view(_np.int32)) & -(1 << nbits_p)
+    )
+
+    # --- stage 2+3: extract each parent, expand its members ---------
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (B, K2p), 1)
+    cands = []
+    for j in range(jj):
+        m = jnp.min(keyi, axis=1, keepdims=True)  # (B, 1)
+        out_p_ref[:, j : j + 1] = m
+        keyi = jnp.where(keyi == m, dead, keyi)
+        pcol = m & jnp.int32((1 << nbits_p) - 1)
+        pvalid = (m & mask_p) < tmax_key_p        # (B, 1)
+        oh = ((iota_k == pcol) & pvalid).astype(jnp.float32)
+        rows = jax.lax.dot_general(
+            oh, memb_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, SCP)
+        tn2 = jnp.full((B, sc), -_TMAXF, jnp.float32)
+        tf2 = jnp.full((B, sc), _TMAXF, jnp.float32)
+        for a in range(3):
+            bmin = rows[:, a * sc : (a + 1) * sc]
+            bmax = rows[:, (3 + a) * sc : (4 + a) * sc]
+            t0 = (bmin - p_ref[:, a : a + 1]) * invs[a]
+            t1 = (bmax - p_ref[:, a : a + 1]) * invs[a]
+            tn2 = jnp.maximum(tn2, jnp.minimum(t0, t1))
+            tf2 = jnp.minimum(tf2, jnp.maximum(t0, t1))
+        # _expand_members parity: RAW tn vs t_limit, clamp after; the
+        # tn < 1e37 cull maps the sanitized empty-slot point boxes
+        # (+BIGF) back to the XLA path's T_MAX
+        hit = (
+            (tn2 <= tf2) & (tf2 >= 0.0) & pvalid
+            & (tn2 < tlim_ref[:, 0:1]) & (tn2 < 1e37)
+        )
+        cands.append(jnp.where(hit, jnp.maximum(tn2, 0.0),
+                               jnp.float32(_TMAXF)))
+
+    cand_t = jnp.concatenate(cands, axis=1)  # (B, jj*sc)
+    mask_c = jnp.int32(-(1 << nbits_c))
+    ccol = jax.lax.broadcasted_iota(jnp.int32, (B, jj * sc), 1)
+    keyc = (jax.lax.bitcast_convert_type(cand_t, jnp.int32) & mask_c) | ccol
+    for r in range(kk):
+        m = jnp.min(keyc, axis=1, keepdims=True)
+        out_c_ref[:, r : r + 1] = m
+        keyc = jnp.where(keyc == m, dead, keyc)
+
+
+@functools.partial(jax.jit, static_argnames=("jj", "kk", "interpret",
+                                             "ray_block"))
+def front_all_pallas(bounds6, memb_bmin, memb_bmax, p, d, t_limit,
+                     jj: int = 16, kk: int = 32, interpret: bool = False,
+                     ray_block: int = 0):
+    """Whole 2-level hierarchical front table in ONE kernel: the
+    (N, K2) supercluster slab, top-jj extraction, per-parent member
+    expansion (one-hot MXU matmul gathers over the VMEM-resident member
+    table — a few hundred KB even at 1M tris) and the final top-kk
+    candidate selection never touch HBM. Replaces ~71 ms of HBM-bound
+    XLA stages at BMW scale (slab 23.1 + extract 17.5 + expand 30.4 ms,
+    tools/tpu_r4e_front.py).
+
+    bounds6: (K2, 6) supercluster [bmin|bmax]; memb_bmin/bmax:
+    (K2, SC, 3) member bounds (NaN = padding). Returns
+    (ttbl (N, kk) f32, col (N, kk) int32 in [0, jj*SC),
+     parent_t (N, jj) f32, parent_id (N, jj) int32) — decode cluster
+    ids with cluster_traverse._reconstruct_ids(parent_id, col, SC).
+    """
+    n = p.shape[0]
+    K2, sc = memb_bmin.shape[0], memb_bmin.shape[1]
+    K2p = -(-K2 // 128) * 128
+    nbits_p = max(1, (K2p - 1).bit_length())
+    nbits_c = max(1, (jj * sc - 1).bit_length())
+    BIGF = 3.0e38
+
+    bt = jnp.full((8, K2p), jnp.nan, jnp.float32)
+    bt = bt.at[:6, :K2].set(bounds6.T)
+
+    # axis-major sanitized member table (see _kernel_full docstring)
+    scp = -(-(6 * sc) // 128) * 128
+    mb = jnp.full((K2p, scp), BIGF, jnp.float32)
+    bmin_s = jnp.where(jnp.isnan(memb_bmin), BIGF, memb_bmin)
+    bmax_s = jnp.where(jnp.isnan(memb_bmax), BIGF, memb_bmax)
+    for a in range(3):
+        mb = mb.at[:K2, a * sc : (a + 1) * sc].set(bmin_s[..., a])
+        mb = mb.at[:K2, (3 + a) * sc : (4 + a) * sc].set(bmax_s[..., a])
+
+    B = min(ray_block or RAY_BLOCK, n)
+    npad = -(-n // B) * B
+    pp = jnp.pad(p, ((0, npad - n), (0, 0)))
+    dd = jnp.pad(d, ((0, npad - n), (0, 0)), constant_values=1.0)
+    tl = jnp.pad(t_limit, (0, npad - n))[:, None]
+
+    grid = npad // B
+    out_p, out_c = pl.pallas_call(
+        functools.partial(_kernel_full, jj=jj, kk=kk, sc=sc,
+                          nbits_p=nbits_p, nbits_c=nbits_c),
+        out_shape=(
+            jax.ShapeDtypeStruct((npad, jj), jnp.int32),
+            jax.ShapeDtypeStruct((npad, kk), jnp.int32),
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((8, K2p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2p, scp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, jj), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, kk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(bt, mb, pp, dd, tl)
+
+    def decode(packed, nbits):
+        bits = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+        key_mask = jnp.uint32(0xFFFFFFFF ^ ((1 << nbits) - 1))
+        key_bits = bits & key_mask
+        tmax_key = (
+            jax.lax.bitcast_convert_type(jnp.float32(T_MAX), jnp.uint32)
+            & key_mask
+        )
+        ids = (bits & jnp.uint32((1 << nbits) - 1)).astype(jnp.int32)
+        t = jnp.where(
+            key_bits >= tmax_key,
+            T_MAX,
+            jax.lax.bitcast_convert_type(key_bits, jnp.float32),
+        )
+        return t, ids
+
+    pt, pid = decode(out_p[:n], nbits_p)
+    ct_, col = decode(out_c[:n], nbits_c)
+    return ct_, col, pt, pid
