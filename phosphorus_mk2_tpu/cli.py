@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--remat", action="store_true",
                    help="checkpoint the bounce body (memory vs recompute)")
+    p.add_argument(
+        "--aniso-taps", type=int, default=0,
+        help="anisotropic texture filtering: probes along the footprint "
+        "major axis (0 = isotropic trilinear mips)",
+    )
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--png", default=None, help="also write a tonemapped PNG")
@@ -148,6 +153,7 @@ def main(argv=None) -> int:
         depth_unroll=args.depth_unroll,
         sample_unroll=args.sample_unroll,
         remat=args.remat,
+        aniso_taps=args.aniso_taps,
     )
 
     n_devices = 1 if args.single else None

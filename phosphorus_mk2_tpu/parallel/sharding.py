@@ -79,6 +79,7 @@ def make_sharded_render(
     sample_unroll: int = 1,
     remat: bool = False,
     tracer_tune: dict | None = None,
+    aniso_taps: int = 0,
 ):
     """Build a jitted SPMD render-pass function.
 
@@ -120,6 +121,7 @@ def make_sharded_render(
             depth_unroll=depth_unroll,
             sample_unroll=sample_unroll,
             remat=remat,
+            aniso_taps=aniso_taps,
         )
 
     return fn, px, py, n_valid

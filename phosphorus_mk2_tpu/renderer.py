@@ -68,6 +68,7 @@ class Renderer:
             sample_unroll=sample_unroll,
             remat=o.remat,
             tracer_tune=o.tracer_tune,
+            aniso_taps=getattr(o, "aniso_taps", 0),
         )
         self.key = jax.random.key(self.options.seed)
 
