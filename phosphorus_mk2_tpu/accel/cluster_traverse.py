@@ -443,10 +443,78 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
     return ttbl, ctbl, horizon
 
 
+def _dedup_rows(rows_tbl, c1, live1, route, d_max):
+    """Per-(chunk, wave) cluster-row dedup: fetch each DISTINCT cluster
+    row of the chunk once, then route rows to rays. Overlap-sorted
+    chunks share clusters heavily (r4_dedup_probe: ~3.7-7.8x reference/
+    distinct redundancy on the real BMW front table), so the redundant
+    per-ray gather stream — the wave loop's byte floor — shrinks by the
+    dedup factor IF the routing step is cheaper than the saved fetches.
+
+    c1, live1: (ch,). route:
+      "gather": rank-gather from the (ch,)-row compact buffer — wins
+        only if gather bandwidth improves with source locality
+        (tools/tpu_r4l_dedup.py expA measures exactly that);
+      "onehot": (ch, d_max) f32 one-hot MXU matmul routing — EXACT
+        selection (one 1.0 term per output; compact-buffer NaN padding
+        sanitized to 0, rejected downstream by the MT det test); falls
+        back to the direct gather when a chunk's distinct count
+        overflows d_max (lax.cond: only one branch executes).
+    Returns (ch, 9, C) rows.
+
+    Dedup mechanics are the packed-key idiom: ray slot rides in the low
+    bits of the cluster-id sort key, so group ranks (cumsum of
+    first-of-group flags) scatter straight back to ray order — no
+    (ch, ch) equality matrix, no per-lane gathers.
+    """
+    K = rows_tbl.shape[0]
+    ch = c1.shape[0]
+    sbits = max(1, (ch - 1).bit_length())
+    if K >= 1 << (31 - sbits):  # key would overflow int32: no dedup
+        return rows_tbl[jnp.where(live1, c1, 0)]
+    ids = jnp.where(live1, c1, K)  # dead lanes sort last, past every id
+    key = (ids << sbits) | jnp.arange(ch, dtype=jnp.int32)
+    skey = jnp.sort(key)
+    sid = skey >> sbits
+    slot = skey & jnp.int32((1 << sbits) - 1)
+    prev = jnp.concatenate([jnp.full((1,), -1, sid.dtype), sid[:-1]])
+    uniq = (sid != prev) & (sid < K)
+    # cumsum of first-of-group flags = the group ordinal for EVERY
+    # element of the group (later members add 0)
+    rank = jnp.cumsum(uniq.astype(jnp.int32)) - 1
+    rk_ray = jnp.zeros((ch,), jnp.int32).at[slot].set(rank)
+
+    d_eff = ch if route == "gather" else min(d_max, ch)
+    uniq_buf = jnp.full((d_eff,), K, jnp.int32).at[
+        jnp.where(uniq, rank, d_eff)
+    ].set(sid, mode="drop")
+    if route == "gather":
+        crow = rows_tbl[jnp.minimum(uniq_buf, K - 1)]
+        return crow[rk_ray]
+
+    def routed(_):
+        crow = rows_tbl[jnp.minimum(uniq_buf, K - 1)]  # (d_eff, 9, C)
+        flat = jnp.nan_to_num(
+            crow.reshape(d_eff, -1), nan=0.0, posinf=0.0, neginf=0.0
+        )
+        oh = (
+            (rk_ray[:, None] == jnp.arange(d_eff, dtype=jnp.int32)[None, :])
+            & live1[:, None]
+        ).astype(jnp.float32)
+        return jax.lax.dot(oh, flat).reshape((ch,) + rows_tbl.shape[1:])
+
+    def direct(_):
+        return rows_tbl[jnp.where(live1, c1, 0)]
+
+    n_uniq = uniq.sum()
+    return jax.lax.cond(n_uniq <= d_eff, routed, direct, None)
+
+
 def _trace(scene, p, d, t_limit, any_hit,
            dense_waves=0, chunk=2048, dense_chunk=16384, expand_batch=1,
            slab_bf16=False, front_levels=0, sc_topk="extract", front_k=0,
-           rows_bf16=False, fb_cc=64, recompact=8, dense_k=0, sc_front=0):
+           rows_bf16=False, fb_cc=64, recompact=8, dense_k=0, sc_front=0,
+           wave_dedup="off", dedup_d=512):
     """Core trace. Tunables (defaults = measured config):
 
     dense_waves: process the first W0 front-table columns for ALL rays
@@ -499,6 +567,12 @@ def _trace(scene, p, d, t_limit, any_hit,
       above which the supercluster front table engages). Lets small
       test scenes exercise the hierarchical BMW-scale path declaratively
       (the multichip dryrun) instead of mutating the module global.
+    wave_dedup: "off" | "gather" | "onehot" — per-(chunk, wave)
+      cluster-row dedup in the straggler loop (see _dedup_rows). The
+      round-4 byte-headroom attack: overlap-sorted chunks reference
+      each cluster ~3.7-7.8x (r4_dedup_probe).
+    dedup_d: compact-buffer depth for wave_dedup="onehot" (chunks whose
+      distinct-cluster count overflows fall back to the direct gather).
     """
     bvh = scene.bvh
     rows_tbl = _cluster_rows(scene, bf16=rows_bf16)
@@ -578,7 +652,12 @@ def _trace(scene, p, d, t_limit, any_hit,
             live = (tn_c < cur[0][:, None]) & (tn_c < T_MAX)
             if any_hit:
                 live = live & (cur[1] < 0)[:, None]
-            rows = rows_tbl[jnp.where(live, c, 0)]  # (ch, ww, 9, C)
+            if wave_dedup != "off" and ww == 1:
+                rows = _dedup_rows(
+                    rows_tbl, c[:, 0], live[:, 0], wave_dedup, dedup_d
+                )[:, None]  # (ch, 1, 9, C)
+            else:
+                rows = rows_tbl[jnp.where(live, c, 0)]  # (ch, ww, 9, C)
             C = rows.shape[-1]
             live_el = jnp.broadcast_to(live[:, :, None], (ch, ww, C))
             new = _mt_rows(
@@ -777,7 +856,7 @@ def intersect_clusters(scene, p, d, tmax=None, **tune):
 
     tune: dense_waves / chunk / dense_chunk / expand_batch /
     front_levels / sc_topk / front_k / rows_bf16 / recompact / dense_k /
-    sc_front (see _trace).
+    sc_front / wave_dedup / dedup_d (see _trace).
     """
     n = p.shape[0]
     t0 = jnp.full((n,), T_MAX) if tmax is None else tmax

@@ -35,6 +35,17 @@ TUNES = [
     # monkey-patch, round-3 verdict item 7)
     {"dense_k": 1},
     {"dense_k": 1, "recompact": 4},
+    # wave_dedup routes each chunk's distinct cluster rows to rays
+    # (round-4 byte-headroom lever); "onehot" with tiny dedup_d also
+    # exercises the overflow -> direct-gather cond branch, and
+    # chunk=300 a non-power-of-two slot mask
+    {"wave_dedup": "gather"},
+    {"wave_dedup": "gather", "chunk": 300, "recompact": 4},
+    {"wave_dedup": "onehot"},
+    {"wave_dedup": "onehot", "dedup_d": 2},
+    {"wave_dedup": "onehot", "dedup_d": 64, "chunk": 128, "recompact": 4},
+    {"dense_k": 1, "wave_dedup": "gather"},
+    {"dense_k": 1, "wave_dedup": "onehot", "dedup_d": 16},
 ]
 
 
