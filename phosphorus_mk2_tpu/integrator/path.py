@@ -87,7 +87,12 @@ def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False,
     (dense all-pairs — oracle / small scenes).
     tracer_tune: cluster-tracer launch-count tunables (dense_waves /
     chunk / dense_chunk / expand_batch / slab_bf16 / recompact — see
-    accel/cluster_traverse._trace); ignored by other backends.
+    accel/cluster_traverse._trace); ignored by other backends. A
+    "shadow" sub-dict overrides keys for the any-hit (occlusion) trace
+    only — shadow rays terminate on the first hit within a short tmax
+    and need no front-to-back completeness, so e.g. a shallower
+    front_k can serve them (exact fallback covers overflow either way;
+    results are identical by construction, only the schedule changes).
     """
     has_bvh = use_bvh and scene.bvh is not None
     if kind == "auto":
@@ -106,9 +111,11 @@ def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False,
 
         if tracer_tune:
             tune = dict(tracer_tune)
+            shadow = {**tune, **(tune.pop("shadow", None) or {})}
+            shadow.pop("shadow", None)
             return (
                 functools.partial(intersect_clusters, **tune),
-                functools.partial(occluded_clusters, **tune),
+                functools.partial(occluded_clusters, **shadow),
             )
         return intersect_clusters, occluded_clusters
 

@@ -104,3 +104,20 @@ def test_make_tracer_threads_tune(rig):
     assert closest.keywords == tune and occluded.keywords == tune
     got = closest(data, p, d)
     np.testing.assert_array_equal(np.asarray(got["tri"]), np.asarray(base["tri"]))
+
+
+def test_make_tracer_shadow_override(rig):
+    """The "shadow" sub-dict retunes ONLY the any-hit trace; occlusion
+    results are identical (fallback covers the shallower front)."""
+    data, p, d, tmax, base, base_occ = rig
+    tune = {"chunk": 1024, "shadow": {"front_k": 2, "recompact": 0}}
+    closest, occluded = make_tracer(data, use_bvh=True, tracer_tune=tune)
+    assert closest.keywords == {"chunk": 1024}
+    assert occluded.keywords == {"chunk": 1024, "front_k": 2,
+                                 "recompact": 0}
+    got = closest(data, p, d)
+    np.testing.assert_array_equal(
+        np.asarray(got["tri"]), np.asarray(base["tri"])
+    )
+    occ = occluded(data, p, d, tmax)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(base_occ))

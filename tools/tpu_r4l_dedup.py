@@ -222,6 +222,43 @@ def main():
             b, _ = timed(fn, gid, vals)
             J(expG=f"{name}_M{M}", ms=round(b * 1e3, 2))
 
+    # --- H. shadow (any-hit) trace tuning: the render pays one closest
+    # + one any-hit trace per bounce, both through the SAME front-table
+    # config. Any-hit needs no front-to-back completeness — a shallow
+    # front (early-out on first hit, exact fallback for the rest) may
+    # halve the shadow half. Realistic shadow rays: camera hits ->
+    # toward the lamp panel, tmax = distance.
+    N = 1 << 17
+    cam = camera_to_params(scene.camera)
+    ids2 = jnp.arange(N, dtype=jnp.int32)
+    px, py = ids2 % 512, (ids2 // 512) % 512
+    u = jnp.full((N, 2), 0.5)
+    pc, dc = generate_rays(cam, px, py, u, u)
+    hit = jax.jit(lambda: ct.intersect_clusters(data, pc, dc))()
+    hp = pc + dc * jnp.where(hit["hit"], hit["t"], 1.0)[:, None]
+    lamp = jnp.asarray([0.0, 4.2, 0.0])
+    dl = lamp[None, :] - hp
+    dist = jnp.sqrt((dl * dl).sum(-1))
+    dln = dl / dist[:, None]
+    tmax = jnp.where(hit["hit"], dist - 1e-3, 0.0)  # dead lanes disabled
+    base_occ = None
+    for tune in ({"front_k": 32, "recompact": 8},
+                 {"front_k": 8, "recompact": 0},
+                 {"front_k": 16, "recompact": 8},
+                 {"front_k": 8, "recompact": 0, "sc_front": 8},
+                 {"front_k": 16, "recompact": 8, "wave_dedup": "onehot"}):
+        fn = jax.jit(lambda p_, d_, t_, tune=tune:
+                     ct.occluded_clusters(data, p_, d_, t_, **tune))
+        try:
+            b, occ = timed(fn, hp, dln, tmax)
+            s = int(np.asarray(occ).sum())
+            if base_occ is None:
+                base_occ = s
+            J(expH=str(tune), ms=round(b * 1e3, 1), occluded=s,
+              match=s == base_occ)
+        except Exception as e:  # noqa: BLE001 - log-and-continue probe
+            J(expH=str(tune), error=repr(e)[:160])
+
 
 CHILD = r"""
 import json, os, sys, time
