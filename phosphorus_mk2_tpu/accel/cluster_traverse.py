@@ -96,8 +96,9 @@ def _mt_rows(p, d, rows, best, live, cand_cids=None, cand_base=None):
     scale (tools/tpu_r3b_split.py dense8 132 ms vs ~35 ms of gather
     traffic at the measured 125 GB/s). Component slices are strided
     views XLA fuses into the elementwise MT chain.
-    best: (t, cid, lane, u, v) each (N,) — the winner is a (cluster,
-    lane) pair, mapped to a triangle id once per trace.
+    best: (t, cid, lane) each (N,) — the winner is a (cluster, lane)
+    pair, mapped to a triangle id once per trace; u/v are re-derived
+    from the winner by the public wrappers when asked for.
     live: (N,) ray mask, or (N, W, C) per-candidate mask — dead
     rays/candidates keep their records.
     The winner's cluster id comes from exactly one of:
@@ -109,6 +110,15 @@ def _mt_rows(p, d, rows, best, live, cand_cids=None, cand_base=None):
     n, W, _, C = rows.shape
     px, py, pz = p[:, 0:1, None], p[:, 1:2, None], p[:, 2:3, None]
     dx, dy, dz = d[:, 0:1, None], d[:, 1:2, None], d[:, 2:3, None]
+    # NOTE winner extraction below is REDUCTION-based (min + masked-iota
+    # min + broadcast-selects): the previous arr[rows, argmin] form did
+    # five per-LANE fancy-index gathers per wave — the measured TPU
+    # poison (ARCHITECTURE.md layout rules; r4l expE: the wave body ran
+    # at 50 GB/s vs 145 GB/s for its gather stream alone). u/v are not
+    # tracked at all: the only consumers re-derive them from the winner
+    # (intersect_clusters re-evaluates once per trace; the integrator
+    # reintersects differentiably anyway), and dropping them removes
+    # two more extractions plus two (N,) carries from every state move.
     ax, ay, az = rows[:, :, 0], rows[:, :, 1], rows[:, :, 2]    # (N, W, C)
     e0x, e0y, e0z = rows[:, :, 3], rows[:, :, 4], rows[:, :, 5]
     e1x, e1y, e1z = rows[:, :, 6], rows[:, :, 7], rows[:, :, 8]
@@ -129,7 +139,7 @@ def _mt_rows(p, d, rows, best, live, cand_cids=None, cand_base=None):
     v = (dx * qvx + dy * qvy + dz * qvz) * ood
     t = (e1x * qvx + e1y * qvy + e1z * qvz) * ood
 
-    best_t, best_cid, best_lane, best_u, best_v = best
+    best_t, best_cid, best_lane = best
     ok = (
         ~near0
         & (u >= 0.0)
@@ -141,9 +151,13 @@ def _mt_rows(p, d, rows, best, live, cand_cids=None, cand_base=None):
         & (live[:, None, None] if live.ndim == 1 else live)
     )
     t_m = jnp.where(ok, t, T_MAX).reshape(n, W * C)
-    j = jnp.argmin(t_m, axis=1)
-    nrows = jnp.arange(n)
-    better = ok.reshape(n, W * C)[nrows, j]
+    t_new = t_m.min(axis=1)
+    better = t_new < best_t  # t_m already gated on t < best_t
+    # first flat index attaining the min (argmin tie semantics), via a
+    # masked-iota min-reduce instead of argmin + fancy-index extraction
+    col = jnp.arange(W * C, dtype=jnp.int32)[None, :]
+    j = jnp.where(t_m == t_new[:, None], col, jnp.int32(1 << 30)).min(axis=1)
+    j = jnp.where(better, j, 0)
 
     jc = j // C
     lane_new = j % C
@@ -153,14 +167,10 @@ def _mt_rows(p, d, rows, best, live, cand_cids=None, cand_base=None):
             cid_new = jnp.where(jc == k, cand_cids[:, k], cid_new)
     else:
         cid_new = cand_base + jc
-    uf = u.reshape(n, W * C)
-    vf = v.reshape(n, W * C)
     return (
-        jnp.where(better, t_m[nrows, j], best_t),
+        jnp.where(better, t_new, best_t),
         jnp.where(better, cid_new, best_cid),
         jnp.where(better, lane_new, best_lane),
-        jnp.where(better, uf[nrows, j], best_u),
-        jnp.where(better, vf[nrows, j], best_v),
     )
 
 
@@ -501,7 +511,16 @@ def _dedup_rows(rows_tbl, c1, live1, route, d_max):
             (rk_ray[:, None] == jnp.arange(d_eff, dtype=jnp.int32)[None, :])
             & live1[:, None]
         ).astype(jnp.float32)
-        return jax.lax.dot(oh, flat).reshape((ch,) + rows_tbl.shape[1:])
+        # Precision.HIGHEST is REQUIRED: TPU f32 dot at DEFAULT precision
+        # truncates operands to bf16, quantizing the routed geometry —
+        # the rows_bf16 failure mode (measured +79% false occlusions,
+        # tools/tpu_r4l_dedup.py expH). HIGHEST (bf16x3+) reconstructs
+        # the exact f32 product; with one 1.0 term per output the
+        # selection is then bit-exact. CPU dots are exact either way,
+        # so only the TPU run can catch a regression here.
+        return jax.lax.dot(
+            oh, flat, precision=jax.lax.Precision.HIGHEST
+        ).reshape((ch,) + rows_tbl.shape[1:])
 
     def direct(_):
         return rows_tbl[jnp.where(live1, c1, 0)]
@@ -632,8 +651,6 @@ def _trace(scene, p, d, t_limit, any_hit,
         s_limit,
         jnp.full((n,), -1, jnp.int32),   # winning cluster id (-1 = miss)
         jnp.zeros((n,), jnp.int32),      # winning lane within the cluster
-        jnp.zeros((n,)),
-        jnp.zeros((n,)),
     )
 
     def make_chunk(w_eff, ww, ch, p_src, d_src, tbl_t, tbl_c):
@@ -762,18 +779,16 @@ def _trace(scene, p, d, t_limit, any_hit,
             big = jnp.concatenate([
                 new_t, new_c.astype(jnp.float32), rp, rd,
                 state[0][:, None], state[1].astype(jnp.float32)[:, None],
-                state[2].astype(jnp.float32)[:, None],
-                state[3][:, None], state[4][:, None], ord_f[:, None],
+                state[2].astype(jnp.float32)[:, None], ord_f[:, None],
             ], axis=1)[order2]
             o = 2 * M
             tbl_t, tbl_c = big[:, :M], big[:, M:o].astype(jnp.int32)
             rp, rd = big[:, o:o + 3], big[:, o + 3:o + 6]
             state = (
                 big[:, o + 6], big[:, o + 7].astype(jnp.int32),
-                big[:, o + 8].astype(jnp.int32), big[:, o + 9],
-                big[:, o + 10],
+                big[:, o + 8].astype(jnp.int32),
             )
-            ord_f = big[:, o + 11]
+            ord_f = big[:, o + 9]
             run_len = min(recompact, M)
             state = run_waves(tbl_t, tbl_c, rp, rd, alive_seg, state,
                               0, run_len)
@@ -836,7 +851,7 @@ def _trace(scene, p, d, t_limit, any_hit,
         return tuple(x[inv2] for x in fb)
 
     best = jax.lax.cond(needy.any(), fallback, lambda b: b, best)
-    return best  # (t, cid, lane, u, v)
+    return best  # (t, cid, lane)
 
 
 def _winner_tri(scene, cid, lane):
@@ -860,8 +875,25 @@ def intersect_clusters(scene, p, d, tmax=None, **tune):
     """
     n = p.shape[0]
     t0 = jnp.full((n,), T_MAX) if tmax is None else tmax
-    t, cid, lane, u, v = _trace(scene, p, d, t0, False, **tune)
+    t, cid, lane = _trace(scene, p, d, t0, False, **tune)
     tri = _winner_tri(scene, cid, lane)
+    # u/v re-derived from the winner triangle (same MT arithmetic on
+    # the same f32 vertices). The wave loop stopped carrying them —
+    # no in-loop consumer exists, and the integrator reintersects
+    # differentiably anyway, so inside a render jit this whole block
+    # is dead-code-eliminated (u/v unused).
+    from phosphorus_mk2_tpu.accel.intersect import mt_intersect
+
+    f = scene.faces[jnp.maximum(tri, 0)]
+    a = scene.vertices[f[..., 0]]
+    b = scene.vertices[f[..., 1]]
+    c = scene.vertices[f[..., 2]]
+    _, u, v, _ = mt_intersect(
+        jax.lax.stop_gradient(p), jax.lax.stop_gradient(d), a, b, c
+    )
+    miss = tri < 0
+    u = jnp.where(miss, 0.0, u)
+    v = jnp.where(miss, 0.0, v)
     return {"t": t, "tri": tri, "u": u, "v": v, "hit": tri >= 0}
 
 
@@ -887,5 +919,5 @@ def occluded_clusters(scene, p, d, tmax, **tune):
         tmax = tmax * 0.99 - lift
         disabled = disabled | (tmax <= 0.0)
     t0 = jnp.where(disabled, 1e-6, tmax)
-    _, cid, _, _, _ = _trace(scene, p, d, t0, True, **tune)
+    _, cid, _ = _trace(scene, p, d, t0, True, **tune)
     return (cid >= 0) & ~disabled

@@ -263,7 +263,18 @@ def front_all_pallas(bounds6, memb_bmin, memb_bmax, p, d, t_limit,
         mb = mb.at[:K2, a * sc : (a + 1) * sc].set(bmin_s[..., a])
         mb = mb.at[:K2, (3 + a) * sc : (4 + a) * sc].set(bmax_s[..., a])
 
-    B = min(ray_block or RAY_BLOCK, n)
+    if not ray_block:
+        # auto-scale the ray block to the 16 MB scoped-VMEM stack: the
+        # kernel's per-block temps measure ~23 f32 words per (ray, K2p)
+        # element (the jj-round extraction keeps several (B, K2p) live
+        # ranges). RAY_BLOCK=256 at BMW's K2p=768 allocated 17.03 M and
+        # the remote compile died with a truncated HTTP 500 (r4i — the
+        # round-4 in-trace failure, root-caused in tools/tpu_r4l_dedup
+        # expC); 256 at K2p<=512 fits (r4k).
+        ray_block = RAY_BLOCK
+        while ray_block > 32 and ray_block * K2p * 4 * 23 > 15_500_000:
+            ray_block //= 2
+    B = min(ray_block, n)
     npad = -(-n // B) * B
     pp = jnp.pad(p, ((0, npad - n), (0, 0)))
     dd = jnp.pad(d, ((0, npad - n), (0, 0)), constant_values=1.0)
