@@ -247,9 +247,12 @@ def main() -> int:
 # portability ratio, not evidence of beating the reference; the
 # roofline fields below are the honest absolute-performance framing.
 BMW_CPU_BASELINE = 2170.6
-# Measured gather bandwidth at BMW scale (tools/tpu_r3c_levers.py):
-# cluster-row gathers sustain ~125 GB/s; the wave loop's byte floor.
-GATHER_GBPS = 125.0
+# Measured gather bandwidth at BMW scale: cluster-row gathers sustain
+# ~125 GB/s (tools/tpu_r3c_levers.py, round 3) re-measured at
+# 141-150 GB/s in round 4 (tools/tpu_r4l_dedup.py expA — and shown to
+# be LOCALITY-INDEPENDENT: same rate for duplicate/sorted/small-table
+# indices). Roofline uses the round-4 midpoint.
+GATHER_GBPS = 145.0
 
 
 def bmw_live() -> dict:

@@ -365,6 +365,17 @@ def _front_table_hierarchical(pp, dd, bvh, t_limit, kk, expand_batch=1,
     from phosphorus_mk2_tpu.accel.bvh_builder import SUPER_CLUSTERS as SC
 
     sc_front = sc_front or SC_FRONT
+    if sc_topk == "auto":
+        # fused Pallas front on real TPU 2-level traces (BMW trace
+        # 139.4 -> see tools/tpu_r4o_frontv2.py); the XLA extract form
+        # everywhere else (CPU/interpret runs the kernel 100x slower,
+        # and the 3-level path has no fused kernel)
+        sc_topk = (
+            "pallas_full"
+            if jax.default_backend() == "tpu"
+            and not (levels >= 3 and "ssc_bmin" in bvh)
+            else "extract"
+        )
     if levels >= 3 and "ssc_bmin" in bvh:
         s3_hit, s3_tn = _slab_all(
             pp, dd,
@@ -531,7 +542,7 @@ def _dedup_rows(rows_tbl, c1, live1, route, d_max):
 
 def _trace(scene, p, d, t_limit, any_hit,
            dense_waves=0, chunk=2048, dense_chunk=16384, expand_batch=1,
-           slab_bf16=False, front_levels=0, sc_topk="extract", front_k=0,
+           slab_bf16=False, front_levels=0, sc_topk="auto", front_k=0,
            rows_bf16=False, fb_cc=64, recompact=8, dense_k=0, sc_front=0,
            wave_dedup="off", dedup_d=512):
     """Core trace. Tunables (defaults = measured config):
@@ -556,10 +567,14 @@ def _trace(scene, p, d, t_limit, any_hit,
     front_levels: hierarchy depth for the front table — 0 auto (3 when
       the ssc tables exist and K2 is wide enough to matter, else 2),
       or explicit 2/3 for A/B measurement.
-    sc_topk: supercluster selection primitive ("extract" = k min-reduce
-      rounds — measured best at BMW scale, 225.7 vs 238.5 ms full trace
-      (tools/tpu_r3_front.py); "topk" = lax.top_k; "sort" = packed
-      row-sort).
+    sc_topk: supercluster selection primitive. "auto" (default):
+      "pallas_full" — the whole 2-level front in ONE kernel — on a real
+      TPU backend (v2 kernel, tools/tpu_r4o_frontv2.py), "extract"
+      otherwise (CPU/interpret, and the levels=3 path where the fused
+      kernel does not apply). Explicit: "extract" = k min-reduce rounds
+      (best XLA form at BMW scale, 225.7 vs 238.5 ms full trace,
+      tools/tpu_r3_front.py); "topk" = lax.top_k; "sort" = packed
+      row-sort; "pallas" = fused slab+extract only; "pallas_full".
     front_k: override MAX_FRONT (per-ray cluster-table depth).
     rows_bf16: bf16 triangle rows — half the wave-loop gather bytes
       (the measured bottleneck); selection-only precision (see

@@ -134,8 +134,8 @@ def slab_extract_pallas(bounds6, p, d, t_limit, jj: int = 16,
 
 
 def _kernel_full(bounds_ref, memb_ref, p_ref, d_ref, tlim_ref,
-                 out_p_ref, out_c_ref, *, jj, kk, sc, nbits_p, nbits_c):
-    """Whole hierarchical front table for one ray block, VMEM-resident.
+                 out_p_ref, out_c_ref, *, jj, sc, nbits_p, nbits_c):
+    """Hierarchical front table for one ray block, VMEM-resident.
 
     bounds_ref: (8, K2p) supercluster [bmin|bmax|pad] rows (NaN = pad).
     memb_ref: (K2p, SCP) member bounds, axis-major layout
@@ -145,8 +145,17 @@ def _kernel_full(bounds_ref, memb_ref, p_ref, d_ref, tlim_ref,
       — and inverted boxes hit every ray), culled by the tn >= 1e37
       test below so they decode to T_MAX exactly like the XLA path.
     out_p_ref: (B, jj) int32 packed parent keys (tn | parent id).
-    out_c_ref: (B, kk) int32 packed candidate keys (tn | column id),
-      column = j*sc + s — the _select_topk(cand, kk, "sort") packing.
+    out_c_ref: (B, jj*sc) int32 packed candidate keys (tn | column id),
+      column = j*sc + s, UNSELECTED — the host sorts and takes the
+      top-kk (a cheap (N, jj*sc) row sort; v1 of this kernel ran kk=32
+      SEQUENTIAL min-extraction rounds per block and the whole kernel
+      measured 58 us/block — dependency-chain latency, not bandwidth).
+
+    v2 structure (tools/tpu_r4n_front.py): extract the jj parents with
+    the unavoidable sequential min rounds, but expand ALL jj member
+    sets with ONE batched one-hot matmul ((B*jj, K2p) x (K2p, SCP))
+    instead of jj small sequential MXU calls — v1's other latency
+    chain.
     """
     K2p = bounds_ref.shape[1]
     B = p_ref.shape[0]
@@ -181,26 +190,42 @@ def _kernel_full(bounds_ref, memb_ref, p_ref, d_ref, tlim_ref,
         int(_np.float32(_TMAXF).view(_np.int32)) & -(1 << nbits_p)
     )
 
-    # --- stage 2+3: extract each parent, expand its members ---------
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (B, K2p), 1)
-    cands = []
+    # --- stage 2: extract the jj nearest parents ---------------------
+    pcols = []
+    pvalids = []
     for j in range(jj):
         m = jnp.min(keyi, axis=1, keepdims=True)  # (B, 1)
         out_p_ref[:, j : j + 1] = m
         keyi = jnp.where(keyi == m, dead, keyi)
-        pcol = m & jnp.int32((1 << nbits_p) - 1)
-        pvalid = (m & mask_p) < tmax_key_p        # (B, 1)
-        oh = ((iota_k == pcol) & pvalid).astype(jnp.float32)
-        rows = jax.lax.dot_general(
-            oh, memb_ref[...],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (B, SCP)
+        pcols.append(m & jnp.int32((1 << nbits_p) - 1))
+        pvalids.append((m & mask_p) < tmax_key_p)
+
+    # --- stage 3: ONE batched one-hot member expansion ---------------
+    # j-major row grouping: block j of the (jj*B, K2p) one-hot covers
+    # rows [j*B, (j+1)*B) and is built from per-j (B, K2p) compares —
+    # axis-0 concatenation and static slices only. (A (B, jj) ->
+    # (B*jj, 1) reshape crosses the Mosaic lane/sublane layout
+    # boundary and the remote compile rejects it — the first v2 form.)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (B, K2p), 1)
+    oh = jnp.concatenate(
+        [((iota_k == pcols[j]) & pvalids[j]).astype(jnp.float32)
+         for j in range(jj)],
+        axis=0,
+    )  # (jj*B, K2p)
+    rows = jax.lax.dot_general(
+        oh, memb_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (jj*B, SCP), j-major
+
+    cands = []
+    for j in range(jj):
+        rj = rows[j * B : (j + 1) * B]
         tn2 = jnp.full((B, sc), -_TMAXF, jnp.float32)
         tf2 = jnp.full((B, sc), _TMAXF, jnp.float32)
         for a in range(3):
-            bmin = rows[:, a * sc : (a + 1) * sc]
-            bmax = rows[:, (3 + a) * sc : (4 + a) * sc]
+            bmin = rj[:, a * sc : (a + 1) * sc]
+            bmax = rj[:, (3 + a) * sc : (4 + a) * sc]
             t0 = (bmin - p_ref[:, a : a + 1]) * invs[a]
             t1 = (bmax - p_ref[:, a : a + 1]) * invs[a]
             tn2 = jnp.maximum(tn2, jnp.minimum(t0, t1))
@@ -209,20 +234,18 @@ def _kernel_full(bounds_ref, memb_ref, p_ref, d_ref, tlim_ref,
         # tn < 1e37 cull maps the sanitized empty-slot point boxes
         # (+BIGF) back to the XLA path's T_MAX
         hit = (
-            (tn2 <= tf2) & (tf2 >= 0.0) & pvalid
+            (tn2 <= tf2) & (tf2 >= 0.0) & pvalids[j]
             & (tn2 < tlim_ref[:, 0:1]) & (tn2 < 1e37)
         )
         cands.append(jnp.where(hit, jnp.maximum(tn2, 0.0),
                                jnp.float32(_TMAXF)))
-
     cand_t = jnp.concatenate(cands, axis=1)  # (B, jj*sc)
+
     mask_c = jnp.int32(-(1 << nbits_c))
     ccol = jax.lax.broadcasted_iota(jnp.int32, (B, jj * sc), 1)
-    keyc = (jax.lax.bitcast_convert_type(cand_t, jnp.int32) & mask_c) | ccol
-    for r in range(kk):
-        m = jnp.min(keyc, axis=1, keepdims=True)
-        out_c_ref[:, r : r + 1] = m
-        keyc = jnp.where(keyc == m, dead, keyc)
+    out_c_ref[:, :] = (
+        (jax.lax.bitcast_convert_type(cand_t, jnp.int32) & mask_c) | ccol
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("jj", "kk", "interpret",
@@ -265,14 +288,18 @@ def front_all_pallas(bounds6, memb_bmin, memb_bmax, p, d, t_limit,
 
     if not ray_block:
         # auto-scale the ray block to the 16 MB scoped-VMEM stack: the
-        # kernel's per-block temps measure ~23 f32 words per (ray, K2p)
-        # element (the jj-round extraction keeps several (B, K2p) live
-        # ranges). RAY_BLOCK=256 at BMW's K2p=768 allocated 17.03 M and
-        # the remote compile died with a truncated HTTP 500 (r4i — the
-        # round-4 in-trace failure, root-caused in tools/tpu_r4l_dedup
-        # expC); 256 at K2p<=512 fits (r4k).
+        # v1 kernel measured ~23 f32 words per (ray, K2p) element of
+        # live ranges (RAY_BLOCK=256 at BMW's K2p=768 allocated 17.03 M
+        # and the remote compile died with a truncated HTTP 500 — the
+        # r4i in-trace failure, root-caused in tools/tpu_r4l_dedup
+        # expC); v2 adds the (B*jj, K2p) batched one-hot (+jj words per
+        # element at jj=16) — budget ~40 words.
+        # 39-word budget: B=128 at BMW's K2p=768 compiles at ~15.3 M
+        # (measured working, 36.7 ms — tools/tpu_r4o_frontv2.py) while
+        # B=256 at v1's 23-word profile already overflowed; halve until
+        # it fits for wider scenes.
         ray_block = RAY_BLOCK
-        while ray_block > 32 and ray_block * K2p * 4 * 23 > 15_500_000:
+        while ray_block > 32 and ray_block * K2p * 4 * 39 > 15_500_000:
             ray_block //= 2
     B = min(ray_block, n)
     npad = -(-n // B) * B
@@ -282,11 +309,11 @@ def front_all_pallas(bounds6, memb_bmin, memb_bmax, p, d, t_limit,
 
     grid = npad // B
     out_p, out_c = pl.pallas_call(
-        functools.partial(_kernel_full, jj=jj, kk=kk, sc=sc,
+        functools.partial(_kernel_full, jj=jj, sc=sc,
                           nbits_p=nbits_p, nbits_c=nbits_c),
         out_shape=(
             jax.ShapeDtypeStruct((npad, jj), jnp.int32),
-            jax.ShapeDtypeStruct((npad, kk), jnp.int32),
+            jax.ShapeDtypeStruct((npad, jj * sc), jnp.int32),
         ),
         grid=(grid,),
         in_specs=[
@@ -299,10 +326,16 @@ def front_all_pallas(bounds6, memb_bmin, memb_bmax, p, d, t_limit,
         ],
         out_specs=(
             pl.BlockSpec((B, jj), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, kk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, jj * sc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(bt, mb, pp, dd, tl)
+    # top-kk candidate selection on the host side of the kernel: ONE
+    # (N, jj*sc) int row sort of the packed keys (nonneg int32 order ==
+    # key order) — v1 ran kk sequential min rounds inside the kernel
+    # and the dependency chain dominated its runtime
+    out_c = jnp.sort(out_c, axis=1)[:, :kk]
 
     def decode(packed, nbits):
         bits = jax.lax.bitcast_convert_type(packed, jnp.uint32)
