@@ -294,37 +294,88 @@ def bmw_live() -> dict:
     # wave-loop bytes -> achieved gather GB/s
     kk = min(ct.MAX_FRONT, data.bvh["cluster_bmin"].shape[0])
 
-    def front(p, d):
-        tl = jnp.full((N,), ct.T_MAX)
-        ttbl, _, _ = ct._front_table_hierarchical(
-            p, d, data.bvh, tl, kk, expand_batch=1,
-            slab_bf16=False, levels=2, sc_topk="extract")
-        return (ttbl < ct.T_MAX).sum()
+    # decomposition in a SUBPROCESS: the axon client cannot reliably
+    # compile a second pallas-bearing program after one has already run
+    # in this process (compiles start failing with a bare
+    # InvalidArgument — measured in round 4; tools/tpu_r4*-series
+    # batches isolate every pallas jit for the same reason). A fresh
+    # process times the fused front (36.7 ms, tools/tpu_r4o_frontv2.py
+    # form) and reports the overlap count; the LIVE trace metric above
+    # never depends on the decomposition succeeding.
+    decomp = {}
+    try:
+        import subprocess
+        import sys as _ssys
 
-    fr = jax.jit(front)
-    t_front, overlap_sum = _timed(lambda: fr(p, d))
-    rows = ct._cluster_rows(data, bf16=False)
-    row_bytes = rows.shape[1] * rows.shape[2] * 4
-    wave_gb = float(overlap_sum) * row_bytes / 1e9
-    t_wave = max(t_trace - t_front, 1e-9)
-    achieved = wave_gb / t_wave
+        child = (
+            "import json,sys,time\n"
+            f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+            f"sys.path.insert(0, {os.path.join(os.path.dirname(os.path.abspath(__file__)), 'tools')!r})\n"
+            "import jax, jax.numpy as jnp, numpy as np\n"
+            "import bmw_asset\n"
+            "from phosphorus_mk2_tpu.accel import cluster_traverse as ct\n"
+            "from phosphorus_mk2_tpu.accel.pallas_front import front_all_pallas\n"
+            "from phosphorus_mk2_tpu.accel.bvh_builder import attach_bvh\n"
+            "from phosphorus_mk2_tpu.core.camera import camera_to_params, generate_rays\n"
+            f"N = {N}\n"
+            "scene = bmw_asset.load_scene('/tmp/bmw_class.abc', 512, 512)\n"
+            "data = attach_bvh(scene.build())\n"
+            "cam = camera_to_params(scene.camera)\n"
+            "ids = jnp.arange(N, dtype=jnp.int32)\n"
+            "u = jnp.full((N, 2), 0.5)\n"
+            "p, d = generate_rays(cam, ids % 512, (ids // 512) % 512, u, u)\n"
+            "bvh = data.bvh\n"
+            "b6 = jnp.concatenate([bvh['sc_bmin'], bvh['sc_bmax']], axis=1)\n"
+            "tl = jnp.full((N,), ct.T_MAX)\n"
+            f"kk = {kk}\n"
+            "fr = jax.jit(lambda p, d: (front_all_pallas(b6,"
+            " bvh['sc_member_bmin'], bvh['sc_member_bmax'], p, d, tl,"
+            " jj=ct.SC_FRONT, kk=kk)[0] < ct.T_MAX).sum())\n"
+            "out = jax.block_until_ready(fr(p, d))\n"
+            "best = 1e9\n"
+            "for _ in range(3):\n"
+            "    t0 = time.time(); out = jax.block_until_ready(fr(p, d))\n"
+            "    best = min(best, time.time() - t0)\n"
+            "print('DECOMP ' + json.dumps("
+            "dict(t_front=best, overlap=int(out))))\n"
+        )
+        res = subprocess.run([_ssys.executable, "-c", child], timeout=1800,
+                             capture_output=True, text=True)
+        line = next(ln for ln in res.stdout.splitlines()
+                    if ln.startswith("DECOMP "))
+        dj = json.loads(line[len("DECOMP "):])
+        t_front, overlap_sum = dj["t_front"], dj["overlap"]
+        rows = ct._cluster_rows(data, bf16=False)
+        row_bytes = rows.shape[1] * rows.shape[2] * 4
+        wave_gb = float(overlap_sum) * row_bytes / 1e9
+        t_wave = max(t_trace - t_front, 1e-9)
+        decomp = {
+            "front_table_ms": round(t_front * 1e3, 1),
+            "front_mode": "pallas_full (fresh-process timing)",
+            "wave_loop_ms": round(t_wave * 1e3, 1),
+            "wave_loop_gather_gb": round(wave_gb, 2),
+            "achieved_gather_gbps": round(wave_gb / t_wave, 1),
+            "pct_of_gather_roofline": round(
+                100 * wave_gb / t_wave / GATHER_GBPS, 1
+            ),
+        }
+    except Exception as e:  # noqa: BLE001 - decomposition best-effort
+        decomp = {"decomposition_error": repr(e)[:120]}
     return {
         "metric": "bmw_live_fwd_rays_per_sec",
         "value": round(N / t_trace, 1),
         "unit": "rays/s",
         "trace_ms": round(t_trace * 1e3, 1),
-        "front_table_ms": round(t_front * 1e3, 1),
-        "wave_loop_ms": round(t_wave * 1e3, 1),
         "hits": hits,
-        "wave_loop_gather_gb": round(wave_gb, 2),
-        "achieved_gather_gbps": round(achieved, 1),
-        "pct_of_gather_roofline": round(100 * achieved / GATHER_GBPS, 1),
+        **decomp,
         "note": (
             "LIVE 1<<17-ray closest-hit trace, 887k-tri Ogawa-imported "
-            "asset, production tracer defaults; roofline = measured "
-            f"{GATHER_GBPS:.0f} GB/s cluster-row gather bandwidth "
-            "(tools/tpu_r3c_levers.py); bytes = front-table overlap x "
-            "row size (upper bound - early-out culls some)"
+            "asset, production tracer defaults (fused Pallas front on "
+            "TPU since round 4); roofline = measured "
+            f"{GATHER_GBPS:.0f} GB/s locality-independent cluster-row "
+            "gather bandwidth (tools/tpu_r4l_dedup.py expA); bytes = "
+            "front-table overlap x row size (upper bound - early-out "
+            "culls some)"
         ),
     }
 
