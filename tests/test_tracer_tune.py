@@ -46,6 +46,10 @@ TUNES = [
     {"wave_dedup": "onehot", "dedup_d": 64, "chunk": 128, "recompact": 4},
     {"dense_k": 1, "wave_dedup": "gather"},
     {"dense_k": 1, "wave_dedup": "onehot", "dedup_d": 16},
+    # fused wave kernel (interpret mode on CPU); small chunk keeps the
+    # interpreted per-row DMA loop affordable
+    {"wave_pallas": True, "chunk": 256},
+    {"wave_pallas": True, "chunk": 256, "recompact": 4},
 ]
 
 
