@@ -153,7 +153,7 @@ def wave_mt_pallas(rows3, ids, live, p, d, best_t, best_cid, best_lane,
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rows stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
             pl.BlockSpec((ch, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ch, 1), lambda i, *_: (0, 0),
