@@ -233,8 +233,33 @@ def main() -> int:
                           "error": repr(e)[:300]}))
 
     if "--bmw" in sys.argv:
-        print(json.dumps(bmw_extra()))
-        print(json.dumps(bmw_fwd_bwd()))
+        # each --bmw extra in its own SUBPROCESS: bmw_live already ran
+        # a pallas-bearing program in this process, and the axon client
+        # cannot reliably compile another one afterwards (the round-4
+        # poisoning pattern — see bmw_live's decomposition note)
+        import os
+        import subprocess
+
+        for fn_name in ("bmw_extra", "bmw_fwd_bwd"):
+            child = (
+                "import sys, json\n"
+                f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+                "import bench\n"
+                f"print(json.dumps(bench.{fn_name}()), flush=True)\n"
+            )
+            res = subprocess.run([sys.executable, "-c", child],
+                                 timeout=7200, capture_output=True,
+                                 text=True)
+            emitted = False
+            for ln in res.stdout.splitlines():
+                if ln.startswith("{"):
+                    print(ln)
+                    emitted = True
+            if not emitted:
+                print(json.dumps({
+                    "metric": fn_name,
+                    "error": (res.stderr or "no output")[-300:],
+                }))
     return 0 if ok else 1
 
 
