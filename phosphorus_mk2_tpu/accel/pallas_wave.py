@@ -53,14 +53,25 @@ def _kernel(ids_sref, rows_ref, live_ref, idv_ref, p_ref, d_ref,
             rows_ref.at[ids_sref[i]], scratch.at[slot], sems.at[slot]
         )
 
+    NB = 16  # DMA start-ahead window. Starting all TILE copies then
+    # waiting measured 245 ns/row (oversubscribed DMA queue); r4q's
+    # rolling <=8-deep window ran at 18-27 ns/row. Destination slots
+    # are distinct per row, so the window only bounds in-flight count.
     for t in range(tiles):  # static: all slices below are constant
         base = t * TILE
-        jax.lax.fori_loop(
-            0, TILE, lambda j, c: (mk(base + j, j).start(), c)[1], 0
-        )
-        jax.lax.fori_loop(
-            0, TILE, lambda j, c: (mk(base + j, j).wait(), c)[1], 0
-        )
+        for j in range(NB):  # static prologue
+            mk(base + j, j).start()
+
+        def roll(j, c, base=base):
+            mk(base + j, j).wait()
+
+            @pl.when(j + NB < TILE)
+            def _():
+                mk(base + j + NB, j + NB).start()
+
+            return c
+
+        jax.lax.fori_loop(0, TILE, roll, 0)
 
         rows = scratch[:, 0, :]                      # (TILE, 9C)
         ax = rows[:, 0 * C : 1 * C]
