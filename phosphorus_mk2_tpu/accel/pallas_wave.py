@@ -49,16 +49,8 @@ def _kernel(ids_sref, rows_ref, live_ref, idv_ref, p_ref, d_ref,
     tiles = ch // TILE
 
     def mk(i, slot):
-        # 1-D (W,) copy ends: src row (K, 1, W).at[id, 0], dst slot
-        # (TILE//8, 8, W).at[slot//8, slot%8] — consecutive rows pack
-        # consecutive SUBLANES, so the MT read below is layout-natural.
-        # (The first layout, (TILE, 1, W).at[slot], put each row in one
-        # sublane of its own 8-sublane tile: the scratch read became a
-        # sublane-strided relayout and the kernel ran at 250 ns/row.)
         return pltpu.make_async_copy(
-            rows_ref.at[ids_sref[i], 0],
-            scratch.at[slot // 8, slot % 8],
-            sems.at[slot],
+            rows_ref.at[ids_sref[i]], scratch.at[slot], sems.at[slot]
         )
 
     NB = 16  # DMA start-ahead window. Starting all TILE copies then
@@ -81,8 +73,7 @@ def _kernel(ids_sref, rows_ref, live_ref, idv_ref, p_ref, d_ref,
 
         jax.lax.fori_loop(0, TILE, roll, 0)
 
-        rows = scratch[...].reshape(TILE, 9 * C)     # no-op relayout:
-        # (TILE//8, 8, W) element (g, s, c) IS (256, W) row g*8+s
+        rows = scratch[:, 0, :]                      # (TILE, 9C)
         ax = rows[:, 0 * C : 1 * C]
         ay = rows[:, 1 * C : 2 * C]
         az = rows[:, 2 * C : 3 * C]
@@ -198,7 +189,7 @@ def wave_mt_pallas(rows3, ids, live, p, d, best_t, best_cid, best_lane,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILE // 8, 8, W), jnp.float32),
+            pltpu.VMEM((TILE, 1, W), jnp.float32),
             pltpu.SemaphoreType.DMA((TILE,)),
         ],
     )
