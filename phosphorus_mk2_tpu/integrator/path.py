@@ -48,6 +48,7 @@ from phosphorus_mk2_tpu.bsdf.bsdf import (
     emission_at,
     emission_from_row,
     env_emission_at,
+    gather_hit_rows,
     gather_lobes,
     hit_row_tables,
     is_specular_flags,
@@ -156,6 +157,37 @@ def make_tracer(scene, use_bvh: bool = True, use_pallas: bool = False,
 # triangle; cap where that is still small next to the geometry itself
 HIT_ROW_MAX_TRIS = 1 << 18
 
+# SceneData fields a caller may declare trainable (the gradient-scoping
+# contract shared with optim.InverseRenderer)
+SCOPABLE_FIELDS = ("vertices", "normals", "emission", "lobe_weight",
+                   "lobe_param")
+
+
+def scope_scene(scene, trainable):
+    """Sever gradient flow at every NON-trainable scene leaf.
+
+    ∂loss/∂(trainable fields) is bit-identical with or without this —
+    a stop_gradient on OTHER leaves never changes a partial derivative
+    w.r.t. the fields left live — but the backward graph shrinks to
+    exactly the chains rooted at the trainable set (XLA DCEs the dead
+    table-build transposes and scatters). trainable=None returns the
+    scene unchanged (fully differentiable — the historical behavior).
+    Round-5 backward attack: grad cost was measured param-set-
+    INDEPENDENT in round 4 because every field rode the same fat
+    gathered rows.
+    """
+    if trainable is None:
+        return scene
+    import dataclasses
+
+    t = frozenset(trainable)
+    sg = {
+        f: jax.lax.stop_gradient(getattr(scene, f))
+        for f in SCOPABLE_FIELDS
+        if f not in t and getattr(scene, f, None) is not None
+    }
+    return dataclasses.replace(scene, **sg) if sg else scene
+
 
 def make_scene_tables(scene) -> dict:
     """Build the consolidated gather tables used by trace_sample.
@@ -262,9 +294,16 @@ def trace_sample(
     sorted_dispatch: bool = True,
     pipeline_shadow: bool = False,
     aniso_taps: int = 0,
+    trainable: tuple | None = None,
 ):
     """Trace one sample per pixel for a wavefront. Returns (radiance (N,3),
     first-hit normal (N,3), first-hit alpha (N,)).
+
+    trainable: optional tuple of SceneData field names (SCOPABLE_FIELDS)
+    the caller will differentiate w.r.t. — gradient flow from all OTHER
+    fields is severed (scope_scene + column-scoped hit-row gathers), so
+    the backward pass only pays for the chains actually requested.
+    Grads for the listed fields are bit-identical to trainable=None.
 
     pipeline_shadow: software-pipeline NEE — bounce b's shadow rays ride
     in the SAME stacked trace as bounce b+1's closest-hit rays (one trace
@@ -298,6 +337,7 @@ def trace_sample(
     # dominate small wavefronts on the axon platform). Built in-jit so
     # they stay differentiable and XLA hoists them out of the scans.
     if tables is None:
+        scene = scope_scene(scene, trainable)
         tables = make_scene_tables(scene)
     attr = tables["attr"]
     mat_tables = tables["mat"]
@@ -376,7 +416,7 @@ def trace_sample(
             # re-intersection, shading attrs, material lobes, emission,
             # texture ids (float-encoded int columns) and the
             # NEE-competing pdf
-            hrow = hit_f[safe_tri]
+            hrow = gather_hit_rows(hit_f, safe_tri, hit_layout, trainable)
             mat_raw, e_row, lobes_raw, nee_pdf_row, texids = unpack_hit_rows(
                 scene, hrow, None, hit_layout
             )
@@ -639,6 +679,7 @@ def render_pass_pixels(
     sorted_dispatch: bool = True,
     pipeline_shadow: bool = False,
     aniso_taps: int = 0,
+    trainable: tuple | None = None,
 ):
     """Accumulate ``n_samples`` samples for an arbitrary pixel wavefront.
 
@@ -667,6 +708,7 @@ def render_pass_pixels(
     else:
         pxb, pyb, sub = px, py, None
 
+    scene = scope_scene(scene, trainable)  # sever non-trainable grads
     tables = make_scene_tables(scene)  # once per pass, shared by samples
 
     def one(carry, s):
@@ -689,6 +731,7 @@ def render_pass_pixels(
             sorted_dispatch=sorted_dispatch,
             pipeline_shadow=pipeline_shadow,
             aniso_taps=aniso_taps,
+            trainable=trainable,
         )
         if sb > 1:
             r = r.reshape(sb, n, 3).sum(axis=0)
@@ -727,6 +770,7 @@ def render_pass(
     sorted_dispatch: bool = True,
     pipeline_shadow: bool = False,
     aniso_taps: int = 0,
+    trainable: tuple | None = None,
 ):
     """Accumulate ``n_samples`` samples for the full frame. Jittable."""
     n = width * height
@@ -752,6 +796,7 @@ def render_pass(
         sorted_dispatch=sorted_dispatch,
         pipeline_shadow=pipeline_shadow,
         aniso_taps=aniso_taps,
+        trainable=trainable,
     )
 
 

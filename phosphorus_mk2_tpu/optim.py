@@ -143,6 +143,8 @@ class InverseRenderer:
         _unbiased = bool(unbiased_loss)
         half = max(1, spp // 2)
 
+        trainable_t = self.trainable
+
         def _render(sd, cam, key, n):
             out = render_pass_pixels(
                 sd, cam, key, 0, n, px, py, max_depth=max_depth,
@@ -153,6 +155,9 @@ class InverseRenderer:
                 # backward fuses across samples (measured 27.7 -> 32.1
                 # Mrays/s on the bench grad, tools/tpu_r4e_front.py;
                 # partial unroll was worse)
+                trainable=trainable_t,  # sever non-trainable grad
+                # chains — the backward pays only for this param set
+                # (round-5; grads for the set itself are identical)
             )
             return out["color"] / n
 

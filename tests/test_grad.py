@@ -151,3 +151,52 @@ def test_vertex_grads_finite_with_environment_light():
     g = np.asarray(jax.jit(jax.grad(loss))(data.vertices))
     assert np.isfinite(g).all(), f"{(~np.isfinite(g)).sum()} NaN rows"
     assert np.abs(g).max() > 0
+
+
+def test_trainable_scoping_grads_identical(monkeypatch):
+    """Gradient scoping (trainable=...) severs only NON-trainable
+    chains: grads for the requested fields must be bit-close to the
+    fully-differentiable graph, on BOTH hit-row branches (consolidated
+    fat rows and the big-scene per-table path)."""
+    import phosphorus_mk2_tpu.integrator.path as path_mod
+    from phosphorus_mk2_tpu.scenes import sphere_in_box
+
+    scene = sphere_in_box(width=RES, height=RES)
+    data = scene.build()
+    cam = camera_to_params(scene.camera)
+    tracer = make_tracer(data, use_bvh=False)
+    key = jax.random.key(1)
+
+    def make_loss(trainable):
+        def loss(params):
+            d2 = dataclasses.replace(data, **params)
+            out = render_pass(
+                d2, cam, key, 0, 2, width=RES, height=RES, max_depth=3,
+                tracer=tracer, sorted_dispatch=False, trainable=trainable,
+            )
+            return out["color"].sum()
+
+        return jax.jit(jax.grad(loss))
+
+    params = {"emission": data.emission, "lobe_weight": data.lobe_weight}
+    for use_hit_rows in (True, False):
+        if not use_hit_rows:
+            monkeypatch.setattr(path_mod, "HIT_ROW_MAX_TRIS", 0)
+        g_full = make_loss(None)(params)
+        g_scoped = make_loss(("emission", "lobe_weight"))(params)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(g_scoped[k]), np.asarray(g_full[k]),
+                rtol=1e-5, atol=1e-7, err_msg=f"{k} hit_rows={use_hit_rows}",
+            )
+            assert np.abs(np.asarray(g_scoped[k])).max() > 0
+
+    # vertices-trainable scoping (the attr-block diff path)
+    monkeypatch.undo()
+    pv = {"vertices": data.vertices}
+    gv_full = make_loss(None)(pv)
+    gv_scoped = make_loss(("vertices",))(pv)
+    np.testing.assert_allclose(
+        np.asarray(gv_scoped["vertices"]), np.asarray(gv_full["vertices"]),
+        rtol=1e-5, atol=1e-7,
+    )
