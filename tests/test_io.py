@@ -30,6 +30,40 @@ def test_exr_round_trip(tmp_path):
         np.testing.assert_array_equal(back[k], v)
 
 
+def test_exr_round_trip_compressed_half(tmp_path):
+    """ZIPS/ZIP compression and HALF channels (the reference sink's
+    OIIO output classes, src/film/file.cpp:27-45): float stays
+    bit-exact under compression; half matches f16 quantization."""
+    rng = np.random.default_rng(3)
+    # 40 rows exercises multiple 16-scanline ZIP blocks + a short tail
+    channels = {
+        "R": (rng.random((40, 9)) * 8).astype(np.float32),
+        "G": rng.standard_normal((40, 9)).astype(np.float32),
+    }
+    for comp in ("zips", "zip"):
+        for pt in ("float", "half"):
+            path = str(tmp_path / f"t_{comp}_{pt}.exr")
+            write_exr(path, channels, compression=comp, pixel_type=pt)
+            back = read_exr(path)
+            for k, v in channels.items():
+                want = (v if pt == "float"
+                        else v.astype(np.float16).astype(np.float32))
+                np.testing.assert_array_equal(back[k], want)
+
+
+def test_exr_zip_compresses_smooth_data(tmp_path):
+    """Render-like (smooth) data must actually shrink under zip."""
+    import os
+
+    y = np.linspace(0, 1, 64, dtype=np.float32)
+    img = {"R": np.tile(y[:, None], (1, 64))}
+    p0 = str(tmp_path / "a.exr")
+    p1 = str(tmp_path / "b.exr")
+    write_exr(p0, img, compression="none", pixel_type="float")
+    write_exr(p1, img, compression="zip", pixel_type="float")
+    assert os.path.getsize(p1) < os.path.getsize(p0) * 0.5
+
+
 def test_exr_readable_by_imageio(tmp_path):
     """Cross-check our EXR bytes with an independent reader if available."""
     import imageio.v3 as iio
@@ -41,7 +75,7 @@ def test_exr_readable_by_imageio(tmp_path):
         img = iio.imread(path)
     except Exception:
         return  # no freeimage plugin in this env; round-trip test covers us
-    np.testing.assert_allclose(img[..., :3], color, atol=1e-6)
+    np.testing.assert_allclose(img[..., :3], color, atol=2e-3)  # half channels
 
 
 def test_obj_loader(tmp_path):
