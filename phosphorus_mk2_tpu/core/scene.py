@@ -135,6 +135,8 @@ class Scene:
         self.textures: list = []
         self.camera: Camera = Camera()
         self.environment: int | None = None  # material id
+        self.texture_dtype: str = "f32"  # "f16" halves atlas HBM +
+        # per-sample gather bytes (filtering upcasts; see pack_textures)
 
     def add_texture(self, texture) -> int:
         from phosphorus_mk2_tpu.core.texture import Texture
@@ -288,7 +290,7 @@ class Scene:
 
         from phosphorus_mk2_tpu.core.texture import pack_textures
 
-        atlas = pack_textures(self.textures)
+        atlas = pack_textures(self.textures, dtype=self.texture_dtype)
 
         return SceneData(
             vertices=jnp.asarray(vertices),

@@ -92,10 +92,17 @@ def build_mips(image: np.ndarray) -> list:
     return levels
 
 
-def pack_textures(textures: list, mips: bool = True) -> dict:
+# default atlas HBM budget: the atlas must coexist with geometry, BVH
+# tables and the tracer's front-table temps in 16G HBM; half is a safe
+# ceiling for texture-heavy scenes (override per call for bigger parts)
+ATLAS_BUDGET_BYTES = 8 << 30
+
+
+def pack_textures(textures: list, mips: bool = True, dtype: str = "f32",
+                  budget_bytes: int = ATLAS_BUDGET_BYTES) -> dict:
     """Shelf-pack textures (and their mip pyramids) into one atlas.
 
-    Returns {"atlas": (AH, AW, 3) f32, "info": (K, L, 4) i32 rows
+    Returns {"atlas": (AH, AW, 3) f32|f16, "info": (K, L, 4) i32 rows
     (y0, x0, h, w) per mip level — textures with fewer levels repeat
     their deepest level so level indexing never branches}. K = 0
     produces a 1x1 atlas so downstream shapes stay valid.
@@ -104,6 +111,14 @@ def pack_textures(textures: list, mips: bool = True) -> dict:
     over an OIIO cache (reference src/material.cpp:127-129); here the
     pyramid lives in the same HBM atlas and the level pair is fetched in
     the one stacked gather sample_texture already does.
+
+    dtype "f16" halves the atlas bytes AND the per-sample gather
+    traffic — texels (unlike geometry) tolerate it: filtering upcasts
+    to f32 and the quantization is below 8-bit-source precision. The
+    reference's OIIO cache serves half-float tiles the same way.
+    budget_bytes: loud capacity guard — the atlas is HBM-RESIDENT (no
+    paging tier like OIIO's 16 GB disk-backed cache), so an oversized
+    texture set must fail actionably at build, not OOM mid-render.
     """
     if not textures:
         return {
@@ -112,6 +127,32 @@ def pack_textures(textures: list, mips: bool = True) -> dict:
             "proc": np.zeros((1,), np.int32),
             "proc_params": np.zeros((1, 4), np.float32),
         }
+    np_dtype = {"f32": np.float32, "f16": np.float16}[dtype]
+    itemsize = np.dtype(np_dtype).itemsize
+    per_tex = [
+        int(sum(i.shape[0] * i.shape[1] for i in build_mips(t.image))
+            if mips else t.image.shape[0] * t.image.shape[1]) * 3 * itemsize
+        for t in textures
+    ]
+    total = sum(per_tex)
+    if total > budget_bytes:
+        worst = sorted(
+            zip(per_tex, (t.name or f"tex{i}" for i, t in enumerate(textures))),
+            reverse=True,
+        )[:8]
+        lines = "\n".join(
+            f"  {name}: {b / 1e9:.2f} GB" for b, name in worst
+        )
+        raise ValueError(
+            f"texture atlas needs {total / 1e9:.2f} GB "
+            f"({len(textures)} textures incl. mips, dtype={dtype}) but the "
+            f"HBM budget is {budget_bytes / 1e9:.2f} GB — the atlas is "
+            "HBM-resident (no out-of-core paging tier). Largest:\n"
+            f"{lines}\n"
+            "Fix: downscale the sources, pack with dtype='f16' "
+            "(Scene.texture_dtype), or raise budget_bytes if the scene "
+            "is small."
+        )
     pyramids = [
         build_mips(t.image) if mips else [np.asarray(t.image, np.float32)]
         for t in textures
@@ -137,7 +178,7 @@ def pack_textures(textures: list, mips: bool = True) -> dict:
             shelves.append([atlas_h, h, w])
             placements.append((atlas_h, 0, h, w))
             atlas_h += h
-    atlas = np.zeros((atlas_h, atlas_w, 3), np.float32)
+    atlas = np.zeros((atlas_h, atlas_w, 3), np_dtype)
     info = np.zeros((len(textures), n_levels, 4), np.int32)
     proc = np.zeros((len(textures),), np.int32)
     proc_params = np.zeros((len(textures), 4), np.float32)
@@ -203,7 +244,8 @@ def _sample_aniso(flat, rows, aw, n_levels, uv, fp):
         wts0.append(w0)
         wts1.append(w1)
     idx = jnp.concatenate(idxs, axis=-1)  # (N, taps*8)
-    texels = flat[idx].reshape(idx.shape[0], taps, 2, 4, -1)
+    texels = flat[idx].astype(jnp.float32)  # f16 atlas upcasts post-gather
+    texels = texels.reshape(idx.shape[0], taps, 2, 4, -1)
     w0 = jnp.stack(wts0, axis=1)  # (N, taps, 4)
     w1 = jnp.stack(wts1, axis=1)
     c0 = (texels[:, :, 0] * w0[..., None]).sum(axis=-2)  # (N, taps, 3)
@@ -292,7 +334,7 @@ def sample_texture(atlas: jnp.ndarray, info: jnp.ndarray, tex_id, uv,
 
     if footprint is None or n_levels == 1:
         idx, wts = _bilinear_idx_weights(rows[:, 0], uv, aw)
-        texels = flat[idx]  # (..., 4, 3)
+        texels = flat[idx].astype(jnp.float32)  # (..., 4, 3)
         return (texels * wts[..., None]).sum(axis=-2)
 
     # level from footprint: texel pitch at level l is 2^l / base_size
@@ -308,7 +350,7 @@ def sample_texture(atlas: jnp.ndarray, info: jnp.ndarray, tex_id, uv,
     idx0, w0 = _bilinear_idx_weights(_pick_level(rows, l0, n_levels), uv, aw)
     idx1, w1 = _bilinear_idx_weights(_pick_level(rows, l1, n_levels), uv, aw)
     idx = jnp.concatenate([idx0, idx1], axis=-1)  # (..., 8)
-    texels = flat[idx]  # ONE stacked gather for both levels
+    texels = flat[idx].astype(jnp.float32)  # ONE stacked gather, both levels
     c0 = (texels[..., :4, :] * w0[..., None]).sum(axis=-2)
     c1 = (texels[..., 4:, :] * w1[..., None]).sum(axis=-2)
     return c0 * (1.0 - tl) + c1 * tl
