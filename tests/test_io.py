@@ -418,3 +418,91 @@ def test_ply_renders_through_yaml_dispatch(tmp_path):
     import_scene_data(str(ply), scene)
     assert len(scene.meshes) == 1
     assert scene.meshes[0].faces.shape == (1, 3)
+
+
+def test_custom_shader_node_escape_hatch():
+    """Open schema: registered Python nodes extend the node vocabulary
+    the way the reference's OSL searchpath does (material.cpp:117-181).
+    A custom node bakes a jnp uv-function into a scene texture feeding
+    a diffuse BSDF; a second returns a custom closure directly."""
+    import jax.numpy as jnp
+
+    from phosphorus_mk2_tpu.core.material import DIFFUSE, Lobe
+    from phosphorus_mk2_tpu.io.yaml_scene import (
+        _CUSTOM_NODES,
+        register_shader_node,
+    )
+
+    added = {}
+
+    def fake_loader(img):
+        added["img"] = np.asarray(img)
+        return 7
+
+    @register_shader_node("stripes_texture_node")
+    def stripes(p, ctx):
+        freq = float(p.get("frequency", 4.0))
+
+        def f(uv):
+            s = 0.5 + 0.5 * jnp.sin(uv[:, :1] * 2 * jnp.pi * freq)
+            return jnp.concatenate([s, s * 0.2, 1.0 - s], axis=1)
+
+        return ctx.texture_ref(ctx.bake(f, res=16))
+
+    @register_shader_node("half_mirror_node")
+    def half_mirror(p, ctx):
+        return ctx.closure(
+            [Lobe(DIFFUSE, (0.4, 0.4, 0.4), (), -1)], emission=(0, 0, 0)
+        )
+
+    try:
+        spec = {
+            "shaders": [
+                {"name": "stripes_texture_node", "layer": "t",
+                 "parameters": [
+                     {"name": "frequency", "type": "float", "value": 8.0}]},
+                {"name": "diffuse_bsdf_node", "layer": "d"},
+                {"name": "material_node", "layer": "root"},
+            ],
+            "connect": [
+                {"from": {"layer": "t", "slot": "Cout"},
+                 "to": {"layer": "d", "slot": "Cs"}},
+                {"from": {"layer": "d", "slot": "Cout"},
+                 "to": {"layer": "root", "slot": "Cs"}},
+            ],
+        }
+        mat = compile_material("m", spec, fake_loader)
+        assert mat.lobes[0].type == DIFFUSE
+        assert mat.lobes[0].texture == 7          # baked texture attached
+        assert added["img"].shape == (16, 16, 3)  # bake really evaluated
+        assert added["img"].min() >= 0 and added["img"].max() <= 1.0
+
+        spec2 = {
+            "shaders": [
+                {"name": "half_mirror_node", "layer": "c"},
+                {"name": "material_node", "layer": "root"},
+            ],
+            "connect": [
+                {"from": {"layer": "c", "slot": "Cout"},
+                 "to": {"layer": "root", "slot": "Cs"}},
+            ],
+        }
+        mat2 = compile_material("m2", spec2)
+        assert len(mat2.lobes) == 1
+        np.testing.assert_allclose(mat2.lobes[0].weight, (0.4, 0.4, 0.4))
+    finally:
+        _CUSTOM_NODES.pop("stripes_texture_node", None)
+        _CUSTOM_NODES.pop("half_mirror_node", None)
+
+
+def test_unknown_node_error_mentions_registry():
+    import pytest
+
+    with pytest.raises(ValueError, match="register_shader_node"):
+        compile_material(
+            "m",
+            {"shaders": [{"name": "no_such_node", "layer": "x"},
+                         {"name": "material_node", "layer": "root"}],
+             "connect": [{"from": {"layer": "x", "slot": "Cout"},
+                          "to": {"layer": "root", "slot": "Cs"}}]},
+        )

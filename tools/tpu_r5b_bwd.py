@@ -34,6 +34,8 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)  # script lives in tools/; package at repo root
 
 N, SPP_B, DEPTH_B, RES = 1 << 16, 2, 3, 512
 
