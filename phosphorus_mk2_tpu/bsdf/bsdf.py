@@ -415,8 +415,9 @@ def _eval_all_slots(lobes: dict, n, wi, wo):
         return jnp.broadcast_to(x[:, None, :], (num, L, 3)).reshape(num * L, 3)
 
     present = lobes.get("present")
-    # sorted dispatch is forward-only (dynamic fori_loop has no reverse
-    # rule); gradient paths set sorted_ok=False and take the dense eval
+    # sorted dispatch is AD-capable since round 5 (custom_vjp reruns the
+    # sorted sweep with per-type vjps — lobes._sorted_bwd); sorted_ok
+    # remains a caller override for A/B measurement
     if (
         present and len(present) > 2 and num * L >= 4096
         and lobes.get("sorted_ok", True)
@@ -495,7 +496,7 @@ def bsdf_sample(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, u2: jnp.ndarray):
     ):
         # many lobe types + big wavefront: type-sorted dispatch (the
         # reference's deferred-shading bucketing) beats dense all-types
-        # (forward-only: dynamic fori_loop has no reverse rule)
+        # (AD-capable since round 5: custom_vjp in lobes.py)
         f_s, wo, pdf = sample_lobe_sorted(
             type_sel, param_sel, n, wi, remapped, present
         )

@@ -504,8 +504,8 @@ def trace_sample(
             )
         aux = aux_next
 
-        lobes["sorted_ok"] = sorted_dispatch  # type-sorted dispatch is
-        # forward-only (dynamic fori_loop); grad paths use the dense eval
+        lobes["sorted_ok"] = sorted_dispatch  # type-sorted dispatch
+        # (AD-capable since round 5; flag kept as an A/B override)
         lobes = apply_fresnel(scene, lobes, hn, wo_view)
 
         # per-bounce randomness: two PCG4D evaluations cover light pick /

@@ -200,3 +200,42 @@ def test_trainable_scoping_grads_identical(monkeypatch):
         np.asarray(gv_scoped["vertices"]), np.asarray(gv_full["vertices"]),
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_sorted_dispatch_grads_match_dense():
+    """Round 5: the type-sorted lobe dispatch has a custom_vjp (the
+    sorted sweep rerun with per-type vjps), so gradient paths keep the
+    multi-BSDF dispatch win. Grads must match the dense eval's."""
+    from phosphorus_mk2_tpu.scenes import multi_bsdf_scene
+
+    scene = multi_bsdf_scene(width=72, height=60)  # 4320 >= 4096 rays
+    data = attach_bvh(scene.build())
+    cam = camera_to_params(scene.camera)
+    tracer = make_tracer(data, use_bvh=True)
+    assert len(data.lobe_types_present) > 2
+    key = jax.random.key(2)
+
+    def make_grad(sorted_dispatch):
+        def loss(emission, lobe_weight, lobe_param):
+            d2 = dataclasses.replace(
+                data, emission=emission, lobe_weight=lobe_weight,
+                lobe_param=lobe_param,
+            )
+            out = render_pass(
+                d2, cam, key, 0, 1, width=72, height=60, max_depth=2,
+                tracer=tracer, sorted_dispatch=sorted_dispatch,
+            )
+            return out["color"].mean()
+
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+
+    args = (data.emission, data.lobe_weight, data.lobe_param)
+    g_dense = make_grad(False)(*args)
+    g_sorted = make_grad(True)(*args)
+    for gd, gs, name in zip(g_dense, g_sorted,
+                            ("emission", "lobe_weight", "lobe_param")):
+        gd, gs = np.asarray(gd), np.asarray(gs)
+        assert np.isfinite(gs).all(), name
+        np.testing.assert_allclose(gs, gd, rtol=2e-4, atol=1e-7,
+                                   err_msg=name)
+    assert np.abs(np.asarray(g_sorted[1])).max() > 0
