@@ -483,10 +483,25 @@ def bsdf_sample(lobes: dict, n: jnp.ndarray, wi: jnp.ndarray, u2: jnp.ndarray):
     n_lobes = jnp.maximum(lobes["n"], 1)
     idx, u_remap = remap_index_sample(u2[..., 0], n_lobes)
 
-    type_sel = lobes["type"][rows, idx]
-    weight_sel = lobes["weight"][rows, idx]
-    param_sel = lobes["param"][rows, idx]
-    flags_sel = lobes["flags"][rows, idx]
+    # slot selection by static broadcast-select, NOT arr[rows, idx]:
+    # the fancy-index form is a per-LANE gather (the measured TPU
+    # poison) AND — with a wavefront-sharded operand and sharded
+    # indices — a form the SPMD partitioner can only realize by
+    # ALL-GATHERING the per-ray lobe arrays across devices (caught by
+    # test_sharding's compiled-HLO collective census, round 5). A
+    # <=MAX_LOBES-way select fuses into the surrounding elementwise
+    # work and stays device-local.
+    Lsel = lobes["type"].shape[1]
+    onehot = idx[:, None] == jnp.arange(Lsel, dtype=idx.dtype)[None, :]
+
+    def sel_slot(arr):
+        m = onehot.reshape(onehot.shape + (1,) * (arr.ndim - 2))
+        return jnp.where(m, arr, 0).sum(axis=1)
+
+    type_sel = sel_slot(lobes["type"])
+    weight_sel = sel_slot(lobes["weight"])
+    param_sel = sel_slot(lobes["param"])
+    flags_sel = sel_slot(lobes["flags"])
 
     remapped = jnp.stack([u_remap, u2[..., 1]], axis=-1)
     present = lobes.get("present")

@@ -32,13 +32,17 @@ from phosphorus_mk2_tpu.parallel.sharding import (
 
 
 class Renderer:
-    def __init__(self, scene: Scene, options: Options | None = None, n_devices=None):
+    def __init__(self, scene: Scene, options: Options | None = None,
+                 n_devices=None, mesh=None):
+        """mesh: optional prebuilt jax.sharding.Mesh (e.g. the
+        production 2-D (host, chip) mesh from parallel.distributed) —
+        default is the 1-D wave mesh over local devices."""
         self.scene = scene
         self.options = options or Options()
         self.data = scene.build()
         if self.options.use_bvh:
             self.data = attach_bvh(self.data)
-        self.mesh = make_wave_mesh(n_devices)
+        self.mesh = mesh if mesh is not None else make_wave_mesh(n_devices)
         import math
 
         o = self.options

@@ -184,3 +184,55 @@ def test_bad_host_factorization_raises():
 
     with pytest.raises(ValueError):
         make_render_mesh(8, host_axis=3)
+
+
+def test_hlo_collectives_only_param_reduce_and_scalars():
+    """Inspect the COMPILED HLO of the sharded render (SURVEY §5.8
+    replacement design, round-4 verdict next #3c): per-ray state must
+    never cross devices. The forward pass must contain NO collectives
+    at all (film stays sharded); the gradient step's only collectives
+    are all-reduces of replicated table/param gradients — nothing with
+    the wavefront (per-ray) axis as a dimension.
+
+    This census caught a real defect when added: bsdf_sample's
+    arr[rows, idx] slot selection made the partitioner ALL-GATHER the
+    per-ray lobe arrays every bounce (fixed with broadcast-selects)."""
+    import dataclasses
+    import re
+
+    scene = sphere_in_box(width=64, height=64)
+    data = scene.build()
+    mesh = make_wave_mesh(8)
+    fn, px, py, n_valid = make_sharded_render(
+        mesh, data, scene.camera, max_depth=2, use_bvh=False
+    )
+    n_wave = px.shape[0]  # padded wavefront length (the sharded axis)
+
+    COLL = re.compile(
+        r"\b(all-reduce|all-gather|all-to-all|collective-permute|"
+        r"reduce-scatter)\("
+    )
+
+    key = jax.random.key(0)
+    fwd_txt = fn.lower(data, key, 0, n_samples=1).compile().as_text()
+    fwd_coll = [ln.strip() for ln in fwd_txt.splitlines() if COLL.search(ln)]
+    assert not fwd_coll, f"forward render emits collectives: {fwd_coll[:4]}"
+
+    params = {"emission": data.emission, "lobe_weight": data.lobe_weight,
+              "vertices": data.vertices}
+
+    def loss(params, d):
+        d2 = dataclasses.replace(d, **params)
+        return fn(d2, key, 0, 1)["color"].sum()
+
+    g_txt = jax.jit(jax.grad(loss)).lower(params, data).compile().as_text()
+    lines = [ln.strip() for ln in g_txt.splitlines() if COLL.search(ln)]
+    assert lines, "grad step must all-reduce the replicated param grads"
+    for ln in lines:
+        kind = COLL.search(ln).group(1)
+        assert kind == "all-reduce", f"unexpected collective kind: {ln}"
+        for shp in re.findall(r"[a-z0-9]+\[([0-9,]*)\]", ln):
+            dims = [int(x) for x in shp.split(",") if x]
+            assert n_wave not in dims, (
+                f"per-ray axis crosses devices ({shp}): {ln}"
+            )
