@@ -118,6 +118,20 @@ def main() -> int:
     t_bwd, _ = _timed(lambda: grad(params, data, key, SPP))
     fwdbwd_rays = rays / t_bwd
 
+    # gradient-scoped variant (round 5): materials/emission training
+    # with the vertex-grad chains severed (trainable=)
+    def loss_s(params, data, key, n):
+        d2 = dataclasses.replace(data, **params)
+        return render_pass(
+            d2, cam, key, 0, n, trainable=("emission", "lobe_weight"),
+            **kw_grad,
+        )["color"].sum()
+
+    grad_s = jax.jit(jax.grad(loss_s), static_argnames=("n",))
+    params_s = {"emission": data.emission, "lobe_weight": data.lobe_weight}
+    t_bs, _ = _timed(lambda: grad_s(params_s, data, key, SPP))
+    scoped_rays = rays / t_bs
+
     mean = float(np.asarray(out["color"]).mean()) / SPP
     ok = bool(np.isfinite(mean) and mean > 0.0)
 
@@ -209,6 +223,7 @@ def main() -> int:
         "unit": "rays/s",
         "vs_baseline": round(fwdbwd_rays / baseline, 4) if baseline else None,
         "fwd_rays_per_sec": round(fwd_rays, 1),
+        "scoped_emlw_rays_per_sec": round(scoped_rays, 1),
         "baseline_cpu_fwd_bwd_rays_per_sec": round(baseline, 1) if baseline else None,
         "launch_floor_ms_per_scan_iter": round(floor_ms, 4),
         "hbm_roofline_rays_per_sec": round(hbm_roofline, 1),
@@ -447,32 +462,56 @@ def bmw_fwd_bwd() -> dict:
         "vertices": data.vertices,
     }
 
-    def loss(params, data, key):
-        d2 = _dc.replace(data, **params)
-        out = render_pass_pixels(
-            d2, cam, key, 0, SPP_B, px, py, max_depth=DEPTH_B,
-            tracer=tracer, sorted_dispatch=False,
-        )
-        return out["color"].sum()
+    def make_grad(fields, trainable):
+        p = {f: getattr(data, f) for f in fields}
 
-    grad = jax.jit(jax.grad(loss))
+        def loss(params, data, key):
+            d2 = _dc.replace(data, **params)
+            out = render_pass_pixels(
+                d2, cam, key, 0, SPP_B, px, py, max_depth=DEPTH_B,
+                tracer=tracer, sorted_dispatch=False, trainable=trainable,
+            )
+            return out["color"].sum()
+
+        return jax.jit(jax.grad(loss)), p
+
+    grad, params = make_grad(
+        ("emission", "lobe_weight", "vertices"), None
+    )
     rays = N * SPP_B * DEPTH_B * 2
     t_b, g = _timed(lambda: grad(params, data, key))
     finite = all(bool(np.isfinite(np.asarray(v)).all()) for v in g.values())
+
+    # gradient-scoped variant (round 5): materials/emission-only
+    # training severs the vertex-grad chains (integrator.path
+    # trainable=) — the loss-side option VERDICT r4 next #1 named
+    grad_s, params_s = make_grad(
+        ("emission", "lobe_weight"), ("emission", "lobe_weight")
+    )
+    t_s, g_s = _timed(lambda: grad_s(params_s, data, key))
+    finite_s = all(
+        bool(np.isfinite(np.asarray(v)).all()) for v in g_s.values()
+    )
     return {
         "metric": "bmw_fwd_bwd_rays_per_sec",
         "value": round(rays / t_b, 1),
         "unit": "rays/s",
         "step_ms": round(t_b * 1e3, 1),
+        "scoped_emlw_rays_per_sec": round(rays / t_s, 1),
+        "scoped_emlw_step_ms": round(t_s * 1e3, 1),
+        "scoped_grads_finite": finite_s,
         "rays": rays,
         "grads_finite": finite,
         "tris": int(data.faces.shape[0]),
         "wavefront": N, "spp": SPP_B, "depth": DEPTH_B,
         "note": (
             "BASELINE.md north star at BMW scale: one value_and_grad "
-            "step of a pixel loss (emission + lobe weights + vertices) "
-            "through the production cluster tracer, 1<<16-pixel "
-            "512^2-class wavefront"
+            "step of a pixel loss through the production cluster "
+            "tracer, 1<<16-pixel 512^2-class wavefront. value = full "
+            "param set (emission+lobe_weight+vertices, trainable=None); "
+            "scoped_emlw = emission+lobe_weight training with gradient "
+            "scoping (round 5) — identical grads for those params, "
+            "vertex chains severed"
         ),
     }
 

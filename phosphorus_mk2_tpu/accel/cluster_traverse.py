@@ -544,7 +544,7 @@ def _trace(scene, p, d, t_limit, any_hit,
            dense_waves=0, chunk=2048, dense_chunk=16384, expand_batch=1,
            slab_bf16=False, front_levels=0, sc_topk="auto", front_k=0,
            rows_bf16=False, fb_cc=64, recompact=8, dense_k=0, sc_front=0,
-           wave_dedup="off", dedup_d=512, wave_pallas=False):
+           wave_dedup="off", dedup_d=512):
     """Core trace. Tunables (defaults = measured config):
 
     dense_waves: process the first W0 front-table columns for ALL rays
@@ -607,27 +607,21 @@ def _trace(scene, p, d, t_limit, any_hit,
       each cluster ~3.7-7.8x (r4_dedup_probe).
     dedup_d: compact-buffer depth for wave_dedup="onehot" (chunks whose
       distinct-cluster count overflows fall back to the direct gather).
-    wave_pallas: fuse the straggler loop's gather+MT+min-update into
-      the Pallas wave kernel (accel/pallas_wave.py): per-ray cluster
-      rows DMA'd HBM->VMEM in-kernel (measured 18-27 ns/row,
-      tools/tpu_r4q_dma.py) and every MT intermediate VMEM-resident —
-      vs ~3x the gather bytes of materialized intermediates in the XLA
-      body (r4l expE). Winners may differ from the XLA body only at
-      FMA-contraction ulps (separately compiled programs). Interpret
-      mode off-TPU.
+    (wave_pallas — REMOVED in round 5: the fused per-ray-DMA wave
+    kernel was capped at ~250 ns/row in-kernel — Mosaic forbids
+    sub-8-sublane DMA landings, so per-ray rows land one-per-tile and
+    the MT consume is sublane-strided, structurally — vs ~98 ns/row
+    for the XLA gather+MT body in-trace. Per-SEGMENT fusion could only
+    amortize the ~0.1-0.2 ms XLA<->Pallas boundary, 0.025 ms/column at
+    recompact=8, against a body 2.5x slower per row: arithmetically
+    unwinnable, so the kernel was pruned rather than accreted.
+    History: accel/pallas_wave.py @ commit d639293 (round-4 close);
+    measurements tools/tpu_r4q_dma.py, tpu_r4r_wavepallas.py.)
     """
     bvh = scene.bvh
     rows_tbl = _cluster_rows(scene, bf16=rows_bf16)
     K = rows_tbl.shape[0]
     n = p.shape[0]
-    # comp-major (K, 1, 9*C) f32 view for the fused wave kernel's
-    # scalar-leading-dim DMA (see pallas_wave; upcast under rows_bf16 —
-    # the kernel's MT is f32)
-    rows3_tbl = (
-        rows_tbl.astype(jnp.float32).reshape(K, 1, -1)
-        if wave_pallas else None
-    )
-
     pp = jax.lax.stop_gradient(p)
     dd = jax.lax.stop_gradient(d)
     # the traversal is primal-only (ids/visibility; the differentiable
@@ -699,25 +693,6 @@ def _trace(scene, p, d, t_limit, any_hit,
             live = (tn_c < cur[0][:, None]) & (tn_c < T_MAX)
             if any_hit:
                 live = live & (cur[1] < 0)[:, None]
-            if wave_pallas and ww == 1:
-                from phosphorus_mk2_tpu.accel.pallas_wave import (
-                    wave_mt_pallas,
-                )
-
-                ids1 = jnp.where(live[:, 0], c[:, 0], 0)
-                new = wave_mt_pallas(
-                    rows3_tbl, ids1, live[:, 0],
-                    jnp.stack([sl(p_src[:, 0]), sl(p_src[:, 1]),
-                               sl(p_src[:, 2])], 1),
-                    jnp.stack([sl(d_src[:, 0]), sl(d_src[:, 1]),
-                               sl(d_src[:, 2])], 1),
-                    cur[0], cur[1], cur[2],
-                    interpret=jax.default_backend() != "tpu",
-                )
-                return tuple(
-                    jax.lax.dynamic_update_slice_in_dim(full, nv, start, 0)
-                    for full, nv in zip(best, new)
-                )
             if wave_dedup != "off" and ww == 1:
                 rows = _dedup_rows(
                     rows_tbl, c[:, 0], live[:, 0], wave_dedup, dedup_d

@@ -48,8 +48,6 @@ TUNES = [
     {"dense_k": 1, "wave_dedup": "onehot", "dedup_d": 16},
     # fused wave kernel (interpret mode on CPU); small chunk keeps the
     # interpreted per-row DMA loop affordable
-    {"wave_pallas": True, "chunk": 256},
-    {"wave_pallas": True, "chunk": 256, "recompact": 4},
 ]
 
 
