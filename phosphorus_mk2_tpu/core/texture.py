@@ -129,30 +129,6 @@ def pack_textures(textures: list, mips: bool = True, dtype: str = "f32",
         }
     np_dtype = {"f32": np.float32, "f16": np.float16}[dtype]
     itemsize = np.dtype(np_dtype).itemsize
-    per_tex = [
-        int(sum(i.shape[0] * i.shape[1] for i in build_mips(t.image))
-            if mips else t.image.shape[0] * t.image.shape[1]) * 3 * itemsize
-        for t in textures
-    ]
-    total = sum(per_tex)
-    if total > budget_bytes:
-        worst = sorted(
-            zip(per_tex, (t.name or f"tex{i}" for i, t in enumerate(textures))),
-            reverse=True,
-        )[:8]
-        lines = "\n".join(
-            f"  {name}: {b / 1e9:.2f} GB" for b, name in worst
-        )
-        raise ValueError(
-            f"texture atlas needs {total / 1e9:.2f} GB "
-            f"({len(textures)} textures incl. mips, dtype={dtype}) but the "
-            f"HBM budget is {budget_bytes / 1e9:.2f} GB — the atlas is "
-            "HBM-resident (no out-of-core paging tier). Largest:\n"
-            f"{lines}\n"
-            "Fix: downscale the sources, pack with dtype='f16' "
-            "(Scene.texture_dtype), or raise budget_bytes if the scene "
-            "is small."
-        )
     pyramids = [
         build_mips(t.image) if mips else [np.asarray(t.image, np.float32)]
         for t in textures
@@ -178,6 +154,32 @@ def pack_textures(textures: list, mips: bool = True, dtype: str = "f32",
             shelves.append([atlas_h, h, w])
             placements.append((atlas_h, 0, h, w))
             atlas_h += h
+    # capacity guard on the TRUE allocation (post-placement: shelf
+    # padding to atlas_w counts — a raw-texel estimate under-counts by
+    # up to ~2x on wide-texture sets)
+    total = atlas_h * atlas_w * 3 * itemsize
+    if total > budget_bytes:
+        per_tex = [
+            sum(i.shape[0] * i.shape[1] for i in p) * 3 * itemsize
+            for p in pyramids
+        ]
+        worst = sorted(
+            zip(per_tex,
+                (t.name or f"tex{i}" for i, t in enumerate(textures))),
+            reverse=True,
+        )[:8]
+        lines = "\n".join(f"  {name}: {b / 1e9:.2f} GB" for b, name in worst)
+        raise ValueError(
+            f"texture atlas needs {total / 1e9:.2f} GB "
+            f"({atlas_h}x{atlas_w} shelf-packed, {len(textures)} textures "
+            f"incl. mips, dtype={dtype}) but the HBM budget is "
+            f"{budget_bytes / 1e9:.2f} GB — the atlas is HBM-resident "
+            "(no out-of-core paging tier). Largest sources:\n"
+            f"{lines}\n"
+            "Fix: downscale the sources, pack with dtype='f16' "
+            "(Scene.texture_dtype), or raise budget_bytes if the scene "
+            "is small."
+        )
     atlas = np.zeros((atlas_h, atlas_w, 3), np_dtype)
     info = np.zeros((len(textures), n_levels, 4), np.int32)
     proc = np.zeros((len(textures),), np.int32)

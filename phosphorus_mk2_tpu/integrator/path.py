@@ -181,6 +181,14 @@ def scope_scene(scene, trainable):
     import dataclasses
 
     t = frozenset(trainable)
+    unknown = t - frozenset(SCOPABLE_FIELDS)
+    if unknown:
+        # a typo here would silently sever every real field and return
+        # exactly-zero gradients — fail loudly instead
+        raise ValueError(
+            f"unknown trainable field(s) {sorted(unknown)}; "
+            f"scopable: {SCOPABLE_FIELDS}"
+        )
     sg = {
         f: jax.lax.stop_gradient(getattr(scene, f))
         for f in SCOPABLE_FIELDS

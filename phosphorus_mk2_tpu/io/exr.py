@@ -90,7 +90,6 @@ def write_exr(
     comp = _COMP_BY_NAME[compression]
     pt = _PT_BY_NAME[pixel_type]
     np_t = _NP_BY_PT[pt]
-    psize = np.dtype(np_t).itemsize
     names = sorted(channels.keys())
     h, w = channels[names[0]].shape
     for n in names:

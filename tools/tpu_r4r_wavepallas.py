@@ -6,12 +6,26 @@ floor in materialized MT intermediates (r4l expE). wave_pallas fuses
 DMA + MT + min-update in VMEM. Fresh subprocess per variant.
 
     python tools/tpu_r4r_wavepallas.py 2>&1 | tee /tmp/tpu_r4r.log
+
+HISTORICAL (round 5): wave_pallas and accel/pallas_wave.py were PRUNED
+after the decisive negative (see cluster_traverse._trace docstring);
+this probe only runs against commit d639293 or earlier. It exits
+early on current trees to avoid a misleading TypeError.
 """
 import os
 import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+
+sys.path.insert(0, os.path.dirname(HERE))
+try:
+    import phosphorus_mk2_tpu.accel.pallas_wave  # noqa: F401
+except ImportError:
+    sys.exit(
+        "wave_pallas was pruned in round 5 (decisive negative; see "
+        "cluster_traverse._trace). Check out commit d639293 to rerun."
+    )
 
 CHILD = r"""
 import json, sys, time
