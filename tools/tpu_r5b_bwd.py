@@ -70,7 +70,7 @@ def load_bmw():
     return data, cam
 
 
-def run_bwd(param_fields, trainable):
+def run_bwd(param_fields, trainable, sorted_dispatch=False):
     import dataclasses as dc
 
     import jax
@@ -93,7 +93,8 @@ def run_bwd(param_fields, trainable):
         d2 = dc.replace(data, **params)
         out = render_pass_pixels(
             d2, cam, key, 0, SPP_B, px, py, max_depth=DEPTH_B,
-            tracer=tracer, sorted_dispatch=False, trainable=trainable,
+            tracer=tracer, sorted_dispatch=sorted_dispatch,
+            trainable=trainable,
         )
         return out["color"].sum()
 
@@ -137,6 +138,14 @@ def main_exp(exp):
                       ("emission", "lobe_weight"))
     elif exp == "bwd_em":
         out = run_bwd(("emission",), ("emission",))
+    elif exp == "bwd_emlw_sorted":
+        # the BMW asset has 5 lobe types: the round-5 sorted-dispatch
+        # reverse rule engages (>2 types, N*L >= 4096)
+        out = run_bwd(("emission", "lobe_weight"),
+                      ("emission", "lobe_weight"), sorted_dispatch=True)
+    elif exp == "bwd_full_sorted":
+        out = run_bwd(("emission", "lobe_weight", "vertices"), None,
+                      sorted_dispatch=True)
     elif exp.startswith("maxwf_"):
         n = int(exp.split("_")[1])
         from phosphorus_mk2_tpu.accel import cluster_traverse as ct
