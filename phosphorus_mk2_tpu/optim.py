@@ -52,6 +52,7 @@ class InverseRenderer:
         log_emission: bool = False,
         unbiased_loss: bool = False,
         views=None,
+        sorted_dispatch: bool = False,
     ):
         """fresh_rng: new sample paths per step (unbiased stochastic
         gradients); False reuses one fixed path set — deterministic
@@ -149,9 +150,14 @@ class InverseRenderer:
             out = render_pass_pixels(
                 sd, cam, key, 0, n, px, py, max_depth=max_depth,
                 tracer=tracer,
-                sorted_dispatch=True,  # AD-capable since round 5 (the
-                # sorted sweep has a custom_vjp); keeps the measured
-                # 2.35x multi-BSDF dispatch win in optimization steps
+                sorted_dispatch=sorted_dispatch,  # AD-capable since
+                # round 5 (custom_vjp) but MEASURED A LOSS on the BMW
+                # grad step (1.08 vs 1.21 Mrays/s — the sorted sweep's
+                # sort + chunked vjp overheads beat the 5-type dispatch
+                # saving there; tools/tpu_r5b_bwd.py bwd_emlw_sorted).
+                # Default off for optimization; opt in for scenes with
+                # many expensive lobe types. Forward renders keep the
+                # sorted path (2.35x, trace_sample default).
                 sample_unroll=n,  # FULL unroll: no sample scan, so the
                 # backward fuses across samples (measured 27.7 -> 32.1
                 # Mrays/s on the bench grad, tools/tpu_r4e_front.py;
