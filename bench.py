@@ -255,7 +255,10 @@ def main() -> int:
         import os
         import subprocess
 
-        for fn_name in ("bmw_extra", "bmw_fwd_bwd"):
+        # one subprocess per metric: each compiles a pallas-bearing
+        # program, and the axon client cannot compile a second one
+        # in-process (round-4 poisoning pattern)
+        for fn_name in ("bmw_extra", "bmw_fwd_bwd", "bmw_fwd_bwd_scoped"):
             child = (
                 "import sys, json\n"
                 f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
@@ -420,19 +423,19 @@ def bmw_live() -> dict:
     }
 
 
-def bmw_fwd_bwd() -> dict:
-    """--bmw extra: the NORTH-STAR metric on the north-star scene —
-    fwd+bwd rays/s on the BMW asset (gradient of a pixel loss through
-    the production cluster tracer; round-3 verdict item 2: this number
-    had never been measured)."""
+N_BMW, SPP_BMW, DEPTH_BMW = 1 << 16, 2, 3  # bmw grad-step shapes
+RES_BMW = 512
+
+
+def _bmw_grad_setup(fields, trainable):
+    """Shared setup for the BMW grad-step metrics: returns
+    (grad_fn, params, data, key, rays)."""
     import dataclasses as _dc
-    import functools
     import os
     import sys as _sys
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
     import bmw_asset
@@ -447,45 +450,68 @@ def bmw_fwd_bwd() -> dict:
     abc = "/tmp/bmw_class.abc"
     if not os.path.exists(abc):
         bmw_asset.write_asset(abc, scale=1.0)
-    N, SPP_B, DEPTH_B = 1 << 16, 2, 3
-    RES = 512
-    scene = bmw_asset.load_scene(abc, RES, RES)
+    scene = bmw_asset.load_scene(abc, RES_BMW, RES_BMW)
     data = attach_bvh(scene.build())
     cam = camera_to_params(scene.camera)
     tracer = make_tracer(data, use_bvh=True)
-    ids = jnp.arange(N, dtype=jnp.int32)
-    px, py = ids % RES, (ids // RES) % RES
+    ids = jnp.arange(N_BMW, dtype=jnp.int32)
+    px, py = ids % RES_BMW, (ids // RES_BMW) % RES_BMW
     key = jax.random.key(0)
-    params = {
-        "emission": data.emission,
-        "lobe_weight": data.lobe_weight,
-        "vertices": data.vertices,
-    }
+    params = {f: getattr(data, f) for f in fields}
 
-    def make_grad(fields, trainable):
-        p = {f: getattr(data, f) for f in fields}
+    def loss(params, data, key):
+        d2 = _dc.replace(data, **params)
+        out = render_pass_pixels(
+            d2, cam, key, 0, SPP_BMW, px, py, max_depth=DEPTH_BMW,
+            tracer=tracer, sorted_dispatch=False, trainable=trainable,
+        )
+        return out["color"].sum()
 
-        def loss(params, data, key):
-            d2 = _dc.replace(data, **params)
-            out = render_pass_pixels(
-                d2, cam, key, 0, SPP_B, px, py, max_depth=DEPTH_B,
-                tracer=tracer, sorted_dispatch=False, trainable=trainable,
-            )
-            return out["color"].sum()
+    rays = N_BMW * SPP_BMW * DEPTH_BMW * 2
+    return jax.jit(jax.grad(loss)), params, data, key, rays
 
-        return jax.jit(jax.grad(loss)), p
 
-    grad, params = make_grad(
+def bmw_fwd_bwd() -> dict:
+    """--bmw extra: the NORTH-STAR metric on the north-star scene —
+    fwd+bwd rays/s on the BMW asset (gradient of a pixel loss through
+    the production cluster tracer; round-3 verdict item 2: this number
+    had never been measured)."""
+    import numpy as np
+
+    grad, params, data, key, rays = _bmw_grad_setup(
         ("emission", "lobe_weight", "vertices"), None
     )
-    rays = N * SPP_B * DEPTH_B * 2
     t_b, g = _timed(lambda: grad(params, data, key))
     finite = all(bool(np.isfinite(np.asarray(v)).all()) for v in g.values())
+    return {
+        "metric": "bmw_fwd_bwd_rays_per_sec",
+        "value": round(rays / t_b, 1),
+        "unit": "rays/s",
+        "step_ms": round(t_b * 1e3, 1),
+        "rays": rays,
+        "grads_finite": finite,
+        "tris": int(data.faces.shape[0]),
+        "wavefront": N_BMW, "spp": SPP_BMW, "depth": DEPTH_BMW,
+        "note": (
+            "BASELINE.md north star at BMW scale: one value_and_grad "
+            "step of a pixel loss (emission+lobe_weight+vertices, "
+            "trainable=None) through the production cluster tracer, "
+            "1<<16-pixel 512^2-class wavefront. The gradient-scoped "
+            "materials/emission variant reports separately "
+            "(bmw_fwd_bwd_scoped) — one pallas program per process"
+        ),
+    }
 
-    # gradient-scoped variant (round 5): materials/emission-only
-    # training severs the vertex-grad chains (integrator.path
-    # trainable=) — the loss-side option VERDICT r4 next #1 named
-    grad_s, params_s = make_grad(
+
+def bmw_fwd_bwd_scoped() -> dict:
+    """--bmw extra: the gradient-SCOPED north-star variant (round 5) —
+    emission+lobe_weight training with the vertex-grad chains severed
+    (integrator.path trainable=; the loss-side option VERDICT r4
+    next #1 named). Own subprocess: one pallas-bearing compile per
+    process (axon client limitation)."""
+    import numpy as np
+
+    grad_s, params_s, data, key, rays = _bmw_grad_setup(
         ("emission", "lobe_weight"), ("emission", "lobe_weight")
     )
     t_s, g_s = _timed(lambda: grad_s(params_s, data, key))
@@ -493,25 +519,17 @@ def bmw_fwd_bwd() -> dict:
         bool(np.isfinite(np.asarray(v)).all()) for v in g_s.values()
     )
     return {
-        "metric": "bmw_fwd_bwd_rays_per_sec",
-        "value": round(rays / t_b, 1),
+        "metric": "bmw_fwd_bwd_scoped_emlw_rays_per_sec",
+        "value": round(rays / t_s, 1),
         "unit": "rays/s",
-        "step_ms": round(t_b * 1e3, 1),
-        "scoped_emlw_rays_per_sec": round(rays / t_s, 1),
-        "scoped_emlw_step_ms": round(t_s * 1e3, 1),
-        "scoped_grads_finite": finite_s,
+        "step_ms": round(t_s * 1e3, 1),
+        "grads_finite": finite_s,
         "rays": rays,
-        "grads_finite": finite,
-        "tris": int(data.faces.shape[0]),
-        "wavefront": N, "spp": SPP_B, "depth": DEPTH_B,
+        "wavefront": N_BMW, "spp": SPP_BMW, "depth": DEPTH_BMW,
         "note": (
-            "BASELINE.md north star at BMW scale: one value_and_grad "
-            "step of a pixel loss through the production cluster "
-            "tracer, 1<<16-pixel 512^2-class wavefront. value = full "
-            "param set (emission+lobe_weight+vertices, trainable=None); "
-            "scoped_emlw = emission+lobe_weight training with gradient "
-            "scoping (round 5) — identical grads for those params, "
-            "vertex chains severed"
+            "emission+lobe_weight training step with gradient scoping: "
+            "grads for those params identical to the full graph, vertex "
+            "chains severed (round 5)"
         ),
     }
 

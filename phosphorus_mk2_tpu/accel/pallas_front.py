@@ -216,6 +216,19 @@ def _kernel_full(bounds_ref, memb_ref, p_ref, d_ref, tlim_ref,
         oh, memb_ref[...],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # Precision.HIGHEST is REQUIRED for geometry routing: the TPU
+        # MXU truncates f32 operands to bf16 at DEFAULT precision, so
+        # the routed member BOUNDS quantize ~0.4% -> wrong slab tnear
+        # keys -> the true nearest cluster can drop out of both the
+        # front table AND the horizon (fallback) test -> sparse
+        # deterministic wrong-hit pixels (found as black dashes on the
+        # round-5 config-4 frame; fixed sites verified clean on chip).
+        # Interpret-mode tests CANNOT catch this class — CPU dots are
+        # exact at any precision (VALIDATION.md round-4 note, r4l expH:
+        # the same hazard measured +79% false occlusions in wave
+        # routing). The one-hot operand is exact either way (0/1
+        # survive bf16); only the bounds side needed the guarantee.
+        precision=jax.lax.Precision.HIGHEST,
     )  # (jj*B, SCP), j-major
 
     cands = []
