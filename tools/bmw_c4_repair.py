@@ -1,0 +1,131 @@
+"""Pixel-exact repair of the config-4 frame after the pallas_front
+precision fix (round 5).
+
+The broken kernel produced deterministic wrong hits on ~600 isolated
+pixels (black dashes). Because every sample is COUNTER-based
+(pixel, sample index) -> the same RNG stream regardless of wavefront
+membership, re-rendering exactly those pixels with the FIXED kernel at
+the full 512 spp / depth 5 / strata 23 configuration reproduces
+bit-for-bit the samples a clean full re-render would produce for them
+(sums differ only in pass-grouping fp reassociation). The spliced frame
+is therefore the fixed-code render everywhere it differs visibly; a
+full-frame re-render was not spent (~70 min of chip) because unaffected
+pixels' front tables select identical clusters either way.
+
+Usage:
+  python tools/bmw_c4_repair.py detect   # writes /tmp/c4_bad_px.npz
+  python tools/bmw_c4_repair.py render   # TPU render of bad pixels
+  python tools/bmw_c4_repair.py splice   # rewrite EXR + PNG
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+sys.path.insert(0, HERE)
+
+OUT = os.path.join(REPO, "examples", "renders")
+EXR = os.path.join(OUT, "bmw_config4.exr")
+PNG = os.path.join(OUT, "bmw_config4.png")
+SPP, DEPTH, RES, STRATA = 512, 5, 1024, 23
+
+
+def detect():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from PIL import Image
+
+    from phosphorus_mk2_tpu.io.exr import read_exr
+
+    ch = read_exr(EXR)
+    img = np.stack([ch["R"], ch["G"], ch["B"]], -1)
+    dark = img.max(axis=-1) < 0.02
+    # the known-good round-3-era frame: anything near-black NOW that
+    # was lit THEN is a wrong-hit pixel
+    import subprocess
+
+    old = subprocess.run(
+        ["git", "-C", REPO, "show", "HEAD~8:examples/renders/bmw_config4.png"],
+        capture_output=True,
+    ).stdout
+    import io
+
+    old_img = np.asarray(Image.open(io.BytesIO(old)), np.float32) / 255.0
+    old_lin = old_img ** 2.2
+    bad = dark & (old_lin.max(axis=-1) > 0.03)
+    # dilate 1px: dash borders are half-wrong too
+    b = bad.copy()
+    b[1:] |= bad[:-1]; b[:-1] |= bad[1:]
+    b[:, 1:] |= bad[:, :-1]; b[:, :-1] |= bad[:, 1:]
+    ys, xs = np.where(b)
+    print(f"repairing {len(ys)} pixels ({bad.sum()} cores + dilation)")
+    np.savez("/tmp/c4_bad_px.npz", px=xs.astype(np.int32),
+             py=ys.astype(np.int32))
+
+
+def render():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import bmw_asset
+    from phosphorus_mk2_tpu.accel.bvh_builder import attach_bvh
+    from phosphorus_mk2_tpu.core.camera import camera_to_params
+    from phosphorus_mk2_tpu.integrator.path import (
+        make_tracer,
+        render_pass_pixels,
+    )
+
+    bp = np.load("/tmp/c4_bad_px.npz")
+    px, py = jnp.asarray(bp["px"]), jnp.asarray(bp["py"])
+    scene = bmw_asset.load_scene("/tmp/bmw_class.abc", RES, RES)
+    data = attach_bvh(scene.build())
+    cam = camera_to_params(scene.camera)
+    tracer = make_tracer(data, use_bvh=True)
+    key = jax.random.key(0)  # config4 Options.seed
+    out = render_pass_pixels(
+        data, cam, key, 0, SPP, px, py, max_depth=DEPTH, tracer=tracer,
+        film_strata=STRATA,
+    )
+    np.savez(
+        "/tmp/c4_repair_px.npz",
+        color=np.asarray(out["color"]) / SPP,
+        normal=np.asarray(out["normal"]) / SPP,
+        alpha=np.asarray(out["alpha"]) / SPP,
+    )
+    print("rendered", px.shape[0], "pixels at", SPP, "spp")
+
+
+def splice():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from phosphorus_mk2_tpu.io.exr import read_exr, write_exr, write_png
+
+    bp = np.load("/tmp/c4_bad_px.npz")
+    rp = np.load("/tmp/c4_repair_px.npz")
+    ch = read_exr(EXR)
+    xs, ys = bp["px"], bp["py"]
+    for i, c in enumerate("RGB"):
+        ch[c][ys, xs] = rp["color"][:, i]
+    for i, c in enumerate(("normal.X", "normal.Y", "normal.Z")):
+        if c in ch:
+            ch[c][ys, xs] = rp["normal"][:, i]
+    if "A" in ch:
+        ch["A"][ys, xs] = rp["alpha"]
+    write_exr(EXR, ch, compression="zip", pixel_type="half")
+    img = np.stack([ch["R"], ch["G"], ch["B"]], -1)
+    write_png(PNG, img)
+    still = (img[ys, xs].max(axis=-1) < 0.02).sum()
+    print(f"spliced {len(xs)} pixels; still-black after repair: {still}")
+
+
+if __name__ == "__main__":
+    {"detect": detect, "render": render, "splice": splice}[sys.argv[1]]()
