@@ -44,21 +44,32 @@ def detect():
 
     ch = read_exr(EXR)
     img = np.stack([ch["R"], ch["G"], ch["B"]], -1)
-    dark = img.max(axis=-1) < 0.02
-    # the known-good round-3-era frame: anything near-black NOW that
-    # was lit THEN is a wrong-hit pixel
+    # reference: the last known-good (round-3-era) frame. ANY pixel
+    # deviating visibly is a repair candidate — wrong-hit pixels were
+    # both darkened (interior hits) and occasionally brightened
+    # (slivers in front of glass); over-repair is harmless because the
+    # repaired value IS the fixed renderer's value (same RNG counters).
+    # 512-spp MC noise sits far below the 0.1-linear threshold; glint
+    # re-rolls above it just get re-rendered to their current value.
     import subprocess
 
+    base = subprocess.run(
+        ["git", "-C", REPO, "log", "--format=%H",
+         "--diff-filter=M", "-2", "--", "examples/renders/bmw_config4.png"],
+        capture_output=True, text=True,
+    ).stdout.split()[-1]
+    # `base` = the modifying commit BEFORE the refresh: its version of
+    # the file is the known-good frame itself
     old = subprocess.run(
-        ["git", "-C", REPO, "show", "HEAD~8:examples/renders/bmw_config4.png"],
+        ["git", "-C", REPO, "show", f"{base}:examples/renders/bmw_config4.png"],
         capture_output=True,
     ).stdout
     import io
 
     old_img = np.asarray(Image.open(io.BytesIO(old)), np.float32) / 255.0
     old_lin = old_img ** 2.2
-    bad = dark & (old_lin.max(axis=-1) > 0.03)
-    # dilate 1px: dash borders are half-wrong too
+    bad = np.abs(np.minimum(img, 1.0) - old_lin).max(axis=-1) > 0.1
+    # dilate 1px: dash borders are partially wrong too
     b = bad.copy()
     b[1:] |= bad[:-1]; b[:-1] |= bad[1:]
     b[:, 1:] |= bad[:, :-1]; b[:, :-1] |= bad[:, 1:]
