@@ -93,23 +93,42 @@ def render():
     )
 
     bp = np.load("/tmp/c4_bad_px.npz")
-    px, py = jnp.asarray(bp["px"]), jnp.asarray(bp["py"])
+    n_real = bp["px"].shape[0]
+    # pad the wavefront to a power of two: an 11094-ray (ragged) front
+    # crashed the TPU worker twice (kernel fault) where 1<<N-class
+    # sizes run fine — pad with pixel 0 and slice after
+    n_pad = 1 << max(1, (n_real - 1).bit_length())
+    px = jnp.asarray(np.pad(bp["px"], (0, n_pad - n_real), mode="edge"))
+    py = jnp.asarray(np.pad(bp["py"], (0, n_pad - n_real), mode="edge"))
     scene = bmw_asset.load_scene("/tmp/bmw_class.abc", RES, RES)
     data = attach_bvh(scene.build())
     cam = camera_to_params(scene.camera)
     tracer = make_tracer(data, use_bvh=True)
     key = jax.random.key(0)  # config4 Options.seed
-    out = render_pass_pixels(
-        data, cam, key, 0, SPP, px, py, max_depth=DEPTH, tracer=tracer,
-        film_strata=STRATA,
-    )
+    # pass-chunked like the production Renderer (the flaky axon worker
+    # dies mid-execution on a single 512-sample program; 64-sample
+    # executions match the pass granularity that survives). Counter-
+    # based RNG: sums are identical up to pass-grouping reassociation.
+    import functools
+
+    fn = jax.jit(functools.partial(
+        render_pass_pixels, max_depth=DEPTH, tracer=tracer,
+        film_strata=STRATA), static_argnames=("n_samples",))
+    out = None
+    for off in range(0, SPP, 64):
+        part = fn(data, cam, key, off, 64, px, py)
+        part = jax.block_until_ready(part)
+        out = part if out is None else jax.tree_util.tree_map(
+            lambda a, b: a + b, out, part)
+        print("  pass", off + 64, "/", SPP, flush=True)
     np.savez(
         "/tmp/c4_repair_px.npz",
-        color=np.asarray(out["color"]) / SPP,
-        normal=np.asarray(out["normal"]) / SPP,
-        alpha=np.asarray(out["alpha"]) / SPP,
+        color=np.asarray(out["color"])[:n_real] / SPP,
+        normal=np.asarray(out["normal"])[:n_real] / SPP,
+        alpha=np.asarray(out["alpha"])[:n_real] / SPP,
     )
-    print("rendered", px.shape[0], "pixels at", SPP, "spp")
+    print("rendered", n_real, "pixels at", SPP, "spp",
+          f"(padded wavefront {n_pad})")
 
 
 def splice():
